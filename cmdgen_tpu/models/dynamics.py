@@ -1,0 +1,124 @@
+"""Two-node-type denoiser wrapper around the EGNN.
+
+Behavioral equivalent of EGNNDynamics
+(DiffPhar/equivariant_diffusion/dynamics.py:9-147): pharmacophore and pocket
+nodes are encoded into a shared feature space by per-type MLPs, concatenated
+into one padded point set, conditioned on the diffusion time, run through the
+EGNN over a distance-cutoff adjacency (self-edges included, like the
+reference's ``mask[:,None]==mask[None,:]`` complete graph), and decoded back
+per type. Velocity = coordinate displacement.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from cmdgen_tpu.models.egnn import EGNN, EGNNConfig
+from cmdgen_tpu.ops.masked import pair_mask, remove_mean
+
+
+@dataclasses.dataclass(frozen=True)
+class DynamicsConfig:
+    phar_nf: int = 8
+    residue_nf: int = 20
+    joint_nf: int = 32
+    n_dims: int = 3
+    condition_time: bool = True
+    update_pocket_coords: bool = False  # False => conditional model
+    edge_cutoff: Optional[float] = 6.0  # Å; None => complete graph
+    egnn: EGNNConfig = dataclasses.field(default_factory=EGNNConfig)
+
+
+class TypeMLP(nn.Module):
+    """Per-type 2-layer encoder/decoder (dynamics.py:21-43)."""
+
+    mid: int
+    out: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, h):
+        h = nn.Dense(self.mid, dtype=self.dtype)(h)
+        h = nn.silu(h)
+        return nn.Dense(self.out, dtype=self.dtype)(h)
+
+
+class EGNNDynamics(nn.Module):
+    """eps-prediction network over (pharmacophore, pocket) padded clouds.
+
+    __call__(xh_phar [B,Np,3+Fp], xh_pocket [B,Nq,3+Fq], t [B,1],
+             mask_phar [B,Np], mask_pocket [B,Nq])
+      -> (eps_phar [B,Np,3+Fp], eps_pocket [B,Nq,3+Fq])
+    """
+
+    cfg: DynamicsConfig
+
+    @nn.compact
+    def __call__(self, xh_phar, xh_pocket, t, mask_phar, mask_pocket):
+        cfg = self.cfg
+        nd = cfg.n_dims
+        dt = cfg.egnn.compute_dtype
+        x_phar, h_phar = xh_phar[..., :nd], xh_phar[..., nd:]
+        x_pocket, h_pocket = xh_pocket[..., :nd], xh_pocket[..., nd:]
+
+        h_phar = TypeMLP(2 * cfg.phar_nf, cfg.joint_nf, dt, name="phar_encoder")(h_phar)
+        h_pocket = TypeMLP(
+            2 * cfg.residue_nf, cfg.joint_nf, dt, name="residue_encoder"
+        )(h_pocket)
+
+        x = jnp.concatenate([x_phar, x_pocket], axis=-2)
+        h = jnp.concatenate([h_phar, h_pocket], axis=-2)
+        mask = jnp.concatenate([mask_phar, mask_pocket], axis=-1)
+
+        if cfg.condition_time:
+            h_time = jnp.broadcast_to(t[..., None, :], (*h.shape[:-1], 1))
+            h = jnp.concatenate([h, h_time.astype(h.dtype)], axis=-1)
+
+        # adjacency: valid×valid pairs, optionally distance-cutoff
+        # (dynamics.py:141-147; the diagonal/self-edges stay in, as there)
+        edge_mask = pair_mask(mask, mask)
+        if cfg.edge_cutoff is not None:
+            d2 = jnp.sum(
+                (x[..., :, None, :] - x[..., None, :, :]) ** 2, axis=-1
+            )
+            edge_mask = edge_mask * (d2 <= cfg.edge_cutoff**2).astype(edge_mask.dtype)
+
+        update_coords_mask = None
+        if not cfg.update_pocket_coords:
+            update_coords_mask = jnp.concatenate(
+                [mask_phar, jnp.zeros_like(mask_pocket)], axis=-1
+            )
+
+        h_final, x_final = EGNN(cfg.egnn, out_node_nf=cfg.joint_nf + 1, name="egnn")(
+            h, x, edge_mask, mask, update_coords_mask
+        )
+        vel = (x_final - x) * mask[..., None]
+
+        if cfg.condition_time:
+            h_final = h_final[..., :-1]
+
+        n_phar = xh_phar.shape[-2]
+        h_out_phar = TypeMLP(
+            2 * cfg.phar_nf, cfg.phar_nf, dt, name="phar_decoder"
+        )(h_final[..., :n_phar, :]).astype(jnp.float32)
+        h_out_pocket = TypeMLP(
+            2 * cfg.residue_nf, cfg.residue_nf, dt, name="residue_decoder"
+        )(h_final[..., n_phar:, :]).astype(jnp.float32)
+
+        # NaN guard (dynamics.py:129-131): zero velocities if anything blew up
+        vel = jnp.where(jnp.isnan(vel), jnp.zeros_like(vel), vel)
+
+        if cfg.update_pocket_coords:
+            # joint model keeps outputs in the CoM-free subspace
+            vel = remove_mean(vel, mask)
+
+        eps_phar = jnp.concatenate([vel[..., :n_phar, :], h_out_phar], axis=-1)
+        eps_pocket = jnp.concatenate([vel[..., n_phar:, :], h_out_pocket], axis=-1)
+        return (
+            eps_phar * mask_phar[..., None],
+            eps_pocket * mask_pocket[..., None],
+        )

@@ -1,0 +1,135 @@
+"""EGNN equivariance and masking invariants.
+
+The defining properties (which the reference never tests, SURVEY.md §4):
+  - h outputs are invariant to rotations/translations of the inputs
+  - coordinate outputs are equivariant: f(Rx+t) = R f(x)+t
+  - padded nodes influence nothing
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from cmdgen_tpu.models.dynamics import DynamicsConfig, EGNNDynamics
+from cmdgen_tpu.models.egnn import EGNN, EGNNConfig
+from cmdgen_tpu.ops.masked import pair_mask
+
+
+def _rand_rotation(rng):
+    a = rng.randn(3, 3)
+    q, r = np.linalg.qr(a)
+    q = q @ np.diag(np.sign(np.diag(r)))
+    if np.linalg.det(q) < 0:
+        q[:, 0] = -q[:, 0]
+    return jnp.asarray(q, dtype=jnp.float32)
+
+
+SMALL = EGNNConfig(hidden_nf=32, n_layers=2, inv_sublayers=1)
+
+
+@pytest.fixture(scope="module")
+def setup():
+    rng = np.random.RandomState(1)
+    b, n, d = 2, 12, 6
+    h = jnp.asarray(rng.randn(b, n, d), dtype=jnp.float32)
+    x = jnp.asarray(rng.randn(b, n, 3), dtype=jnp.float32)
+    mask = jnp.asarray(
+        (np.arange(n)[None, :] < np.array([8, 12])[:, None]).astype(np.float32)
+    )
+    edge_mask = pair_mask(mask, mask)
+    model = EGNN(SMALL, out_node_nf=d)
+    params = model.init(jax.random.PRNGKey(0), h, x, edge_mask, mask)
+    return model, params, h, x, mask, edge_mask, rng
+
+
+def test_rotation_equivariance(setup):
+    model, params, h, x, mask, edge_mask, rng = setup
+    R = _rand_rotation(rng)
+    t = jnp.asarray(rng.randn(3), dtype=jnp.float32)
+    h1, x1 = model.apply(params, h, x, edge_mask, mask)
+    h2, x2 = model.apply(params, h, x @ R.T + t, edge_mask, mask)
+    np.testing.assert_allclose(np.asarray(h1), np.asarray(h2), atol=2e-4)
+    want = (x1 @ R.T + t) * mask[..., None]
+    np.testing.assert_allclose(
+        np.asarray(x2 * mask[..., None]), np.asarray(want), atol=2e-4
+    )
+
+
+def test_padding_invariance(setup):
+    model, params, h, x, mask, edge_mask, rng = setup
+    # scribble over padded entries; valid outputs must not change
+    noise_h = jnp.asarray(rng.randn(*h.shape), dtype=jnp.float32)
+    noise_x = jnp.asarray(rng.randn(*x.shape), dtype=jnp.float32)
+    pad = (1 - mask)[..., None]
+    h1, x1 = model.apply(params, h, x, edge_mask, mask)
+    h2, x2 = model.apply(
+        params, h + noise_h * pad, x + noise_x * pad, edge_mask, mask
+    )
+    np.testing.assert_allclose(
+        np.asarray(h1 * mask[..., None]), np.asarray(h2 * mask[..., None]), atol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(x1 * mask[..., None]), np.asarray(x2 * mask[..., None]), atol=1e-5
+    )
+
+
+def test_dynamics_equivariance_and_pocket_frozen():
+    rng = np.random.RandomState(2)
+    b, n_p, n_q = 2, 5, 10
+    cfg = DynamicsConfig(
+        phar_nf=8,
+        residue_nf=4,
+        joint_nf=8,
+        edge_cutoff=None,
+        egnn=EGNNConfig(hidden_nf=32, n_layers=2, inv_sublayers=1),
+    )
+    xh_p = jnp.asarray(rng.randn(b, n_p, 3 + 8), dtype=jnp.float32)
+    xh_q = jnp.asarray(rng.randn(b, n_q, 3 + 4), dtype=jnp.float32)
+    t = jnp.asarray(rng.rand(b, 1), dtype=jnp.float32)
+    m_p = jnp.ones((b, n_p), dtype=jnp.float32)
+    m_q = jnp.asarray(
+        (np.arange(n_q)[None, :] < np.array([7, 10])[:, None]).astype(np.float32)
+    )
+    model = EGNNDynamics(cfg)
+    params = model.init(jax.random.PRNGKey(0), xh_p, xh_q, t, m_p, m_q)
+
+    eps_p1, eps_q1 = model.apply(params, xh_p, xh_q, t, m_p, m_q)
+    # rotate coordinates only
+    R = _rand_rotation(rng)
+    rot = lambda xh: jnp.concatenate([xh[..., :3] @ R.T, xh[..., 3:]], axis=-1)
+    eps_p2, eps_q2 = model.apply(params, rot(xh_p), rot(xh_q), t, m_p, m_q)
+    # velocity part rotates, feature part invariant
+    np.testing.assert_allclose(
+        np.asarray(eps_p2[..., :3]), np.asarray(eps_p1[..., :3] @ R.T), atol=2e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(eps_p2[..., 3:]), np.asarray(eps_p1[..., 3:]), atol=2e-4
+    )
+    # conditional mode: pocket velocities are frozen at zero
+    assert float(jnp.max(jnp.abs(eps_q1[..., :3]))) == 0.0
+
+
+def test_edge_cutoff_limits_influence():
+    """A node farther than the cutoff from everything must not affect others."""
+    rng = np.random.RandomState(3)
+    cfg = DynamicsConfig(
+        phar_nf=8,
+        residue_nf=4,
+        joint_nf=8,
+        edge_cutoff=6.0,
+        egnn=EGNNConfig(hidden_nf=16, n_layers=1, inv_sublayers=1),
+    )
+    b, n_p, n_q = 1, 4, 6
+    xh_p = jnp.asarray(rng.randn(b, n_p, 11), dtype=jnp.float32)
+    xh_q = jnp.asarray(rng.randn(b, n_q, 7), dtype=jnp.float32)
+    t = jnp.zeros((b, 1), dtype=jnp.float32)
+    m_p = jnp.ones((b, n_p))
+    m_q = jnp.ones((b, n_q))
+    model = EGNNDynamics(cfg)
+    params = model.init(jax.random.PRNGKey(0), xh_p, xh_q, t, m_p, m_q)
+    # teleport last pocket node 1000 Å away; its features must stop mattering
+    far = xh_q.at[0, -1, :3].set(jnp.asarray([1000.0, 1000.0, 1000.0]))
+    far_feat = far.at[0, -1, 3:].add(5.0)
+    eps_p1, _ = model.apply(params, xh_p, far, t, m_p, m_q)
+    eps_p2, _ = model.apply(params, xh_p, far_feat, t, m_p, m_q)
+    np.testing.assert_allclose(np.asarray(eps_p1), np.asarray(eps_p2), atol=1e-5)
