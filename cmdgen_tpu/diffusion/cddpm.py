@@ -1,0 +1,421 @@
+"""Pocket-conditional E(3) DDPM over pharmacophore point clouds.
+
+Behavioral equivalent of ConditionalDDPM / SimpleConditionalDDPM
+(DiffPhar/equivariant_diffusion/conditional_model.py:12-525, inheriting the
+VDM algebra of en_diffusion.py). Only the pharmacophore nodes are diffused;
+the pocket is fixed context. The CoM-free subspace trick subtracts the
+pharmacophore CoM from both clouds at every step.
+
+TPU-native design decisions:
+- all state is fixed-shape padded ``[B, N, ...]`` (see containers.py);
+- the full reverse chain is one ``lax.scan`` over T steps — zero host
+  round-trips per sample, unlike the reference's Python loop
+  (conditional_model.py:428-436);
+- the reference's *conditional* CoG-drift correction (project only when
+  drift > 5e-2, conditional_model.py:451-457) becomes an unconditional
+  projection: it is idempotent on already-centered clouds, so behavior is
+  identical up to float noise and the graph stays branch-free;
+- randomness flows through explicit jax.random keys.
+"""
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from cmdgen_tpu.containers import PointCloud, mask_from_sizes
+from cmdgen_tpu.diffusion.size_prior import SizePrior
+from cmdgen_tpu.models.dynamics import EGNNDynamics
+from cmdgen_tpu.ops import schedules as sch
+from cmdgen_tpu.ops.masked import (
+    masked_mean,
+    remove_mean_conditional,
+    sum_except_batch,
+)
+
+
+@dataclasses.dataclass(frozen=True)
+class DDPMConfig:
+    timesteps: int = 100
+    noise_schedule: str = "polynomial_2"
+    noise_precision: float = 1e-5
+    loss_type: str = "l2"  # 'l2' | 'vlb'
+    norm_x: float = 1.0    # normalize_factors[0]
+    norm_h: float = 4.0    # normalize_factors[1]
+    norm_bias_h: float = 0.0
+    com_free: bool = True  # False => SimpleConditionalDDPM (no subspace trick)
+    n_dims: int = 3
+
+
+def _inflate(v: jnp.ndarray) -> jnp.ndarray:
+    """[B] -> [B,1,1] for broadcasting against [B,N,F]."""
+    return v[:, None, None]
+
+
+class ConditionalDDPM:
+    """Loss and samplers for the pocket-conditional diffusion model.
+
+    ``dynamics`` is the flax EGNNDynamics module; its params are passed to
+    every method so the object itself is static/hashable under jit.
+    """
+
+    def __init__(self, cfg: DDPMConfig, dynamics: EGNNDynamics,
+                 size_prior: Optional[SizePrior] = None):
+        self.cfg = cfg
+        self.dynamics = dynamics
+        self.size_prior = size_prior
+        self.gamma = sch.gamma_table(
+            cfg.noise_schedule, cfg.timesteps, cfg.noise_precision
+        )
+        self.phar_nf = dynamics.cfg.phar_nf
+
+    # ---------------------------------------------------------------- utils
+
+    def normalize(self, pc: PointCloud) -> PointCloud:
+        cfg = self.cfg
+        return pc.replace(
+            x=pc.x / cfg.norm_x,
+            h=(pc.h - cfg.norm_bias_h) / cfg.norm_h,
+        )
+
+    def unnormalize_x(self, x: jnp.ndarray) -> jnp.ndarray:
+        return x * self.cfg.norm_x
+
+    def unnormalize_h(self, h: jnp.ndarray) -> jnp.ndarray:
+        return h * self.cfg.norm_h + self.cfg.norm_bias_h
+
+    def subspace_dim(self, n: jnp.ndarray) -> jnp.ndarray:
+        """Translation-invariant subspace dimensionality
+        (en_diffusion.py:903-906; SimpleConditionalDDPM override 481-489)."""
+        if self.cfg.com_free:
+            return (n - 1.0) * self.cfg.n_dims
+        return n * self.cfg.n_dims
+
+    def _center(self, x_phar, x_pocket, mask_phar, mask_pocket):
+        """Subtract pharmacophore CoM from both clouds (no-op without the
+        subspace trick, conditional_model.py:509-516)."""
+        if self.cfg.com_free:
+            return remove_mean_conditional(x_phar, x_pocket, mask_phar, mask_pocket)
+        return x_phar * mask_phar[..., None], x_pocket * mask_pocket[..., None]
+
+    def _gamma_at_int(self, t_int: jnp.ndarray) -> jnp.ndarray:
+        return self.gamma[jnp.clip(t_int.astype(jnp.int32), 0, self.cfg.timesteps)]
+
+    # ----------------------------------------------------------------- loss
+
+    def loss(
+        self,
+        params,
+        rng: jax.Array,
+        phar: PointCloud,
+        pocket: PointCloud,
+        training: bool = True,
+    ) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
+        """Per-example NLL/loss, assembled exactly like the reference
+        (conditional_model.py:198-320 + lightning_modules.py:188-239).
+
+        Returns (nll [B], info dict).
+        """
+        cfg = self.cfg
+        nd = cfg.n_dims
+        b = phar.batch
+        k_t, k_eps, k_eps0 = jax.random.split(rng, 3)
+
+        phar = self.normalize(phar)
+        pocket = self.normalize(pocket)
+
+        if not cfg.com_free:
+            # simple variant: move to the pocket-CoM frame first
+            pocket_com = masked_mean(pocket.x, pocket.mask)
+            phar = phar.replace(x=phar.x - pocket_com[:, None, :])
+            pocket = pocket.replace(x=pocket.x - pocket_com[:, None, :])
+
+        n_phar = phar.size
+        delta_log_px = -self.subspace_dim(n_phar) * math.log(cfg.norm_x)
+
+        lowest_t = 0 if training else 1
+        t_int = jax.random.randint(k_t, (b,), lowest_t, cfg.timesteps + 1).astype(
+            jnp.float32
+        )
+        s_int = t_int - 1.0
+        t_is_zero = (t_int == 0).astype(jnp.float32)
+        t_is_not_zero = 1.0 - t_is_zero
+
+        gamma_s = self._gamma_at_int(s_int)  # [B]; s=-1 never used at t=0
+        gamma_t = self._gamma_at_int(t_int)
+
+        # center input on pharmacophore CoM
+        x_phar_c, x_pocket_c = self._center(
+            phar.x, pocket.x, phar.mask, pocket.mask
+        )
+        xh0_phar = jnp.concatenate([x_phar_c, phar.h], axis=-1)
+        xh0_pocket = jnp.concatenate([x_pocket_c, pocket.h], axis=-1)
+
+        # q(z_t | x): noise only the pharmacophore nodes
+        alpha_t, sigma_t = sch.alpha(gamma_t), sch.sigma(gamma_t)
+        eps = jax.random.normal(k_eps, xh0_phar.shape) * phar.mask[..., None]
+        z_t = _inflate(alpha_t) * xh0_phar + _inflate(sigma_t) * eps
+        z_t_x, xh_pocket_x = self._center(
+            z_t[..., :nd], xh0_pocket[..., :nd], phar.mask, pocket.mask
+        )
+        z_t = jnp.concatenate([z_t_x, z_t[..., nd:]], axis=-1)
+        xh_pocket = jnp.concatenate([xh_pocket_x, xh0_pocket[..., nd:]], axis=-1)
+
+        t_norm = (t_int / cfg.timesteps)[:, None]
+        net_out, _ = self.dynamics.apply(
+            params, z_t, xh_pocket, t_norm, phar.mask, pocket.mask
+        )
+
+        error_t = sum_except_batch((eps - net_out) ** 2, phar.mask)
+        snr_weight = 1.0 - sch.snr(gamma_s - gamma_t)  # negative, by design
+
+        # constants of the L0 cross-entropy term (en_diffusion.py:170-180)
+        gamma_0_scalar = self.gamma[0]
+        d_x = self.subspace_dim(n_phar)
+        neg_log_constants = -d_x * (
+            -0.5 * gamma_0_scalar - 0.5 * math.log(2 * math.pi)
+        )
+
+        kl_prior = self._kl_prior(xh0_phar, phar.mask, n_phar)
+
+        if training:
+            loss0_x, loss0_h = self._neg_log_pxh_given_z0(
+                phar, z_t, eps, net_out, gamma_t
+            )
+            loss0_x = loss0_x * t_is_zero
+            loss0_h = loss0_h * t_is_zero
+            error_t = error_t * t_is_not_zero
+        else:
+            # second forward pass at t=0 for a lower-variance L0 estimate
+            gamma_0 = jnp.full((b,), self.gamma[0])
+            a0, s0 = sch.alpha(gamma_0), sch.sigma(gamma_0)
+            eps0 = jax.random.normal(k_eps0, xh0_phar.shape) * phar.mask[..., None]
+            z_0 = _inflate(a0) * xh0_phar + _inflate(s0) * eps0
+            z_0_x, xh_pocket0_x = self._center(
+                z_0[..., :nd], xh0_pocket[..., :nd], phar.mask, pocket.mask
+            )
+            z_0 = jnp.concatenate([z_0_x, z_0[..., nd:]], axis=-1)
+            xh_pocket0 = jnp.concatenate(
+                [xh_pocket0_x, xh0_pocket[..., nd:]], axis=-1
+            )
+            net_out0, _ = self.dynamics.apply(
+                params, z_0, xh_pocket0, jnp.zeros((b, 1)), phar.mask, pocket.mask
+            )
+            loss0_x, loss0_h = self._neg_log_pxh_given_z0(
+                phar, z_0, eps0, net_out0, gamma_0
+            )
+
+        if self.size_prior is not None:
+            log_pN = self.size_prior.log_prob_n1_given_n2(n_phar, pocket.size)
+        else:
+            log_pN = jnp.zeros((b,))
+
+        # ---- assembly (lightning_modules.py:196-231)
+        if cfg.loss_type == "l2" and training:
+            denom = (nd + self.phar_nf) * jnp.maximum(n_phar, 1.0)
+            loss_t = 0.5 * error_t / denom
+            loss_0 = loss0_x / (nd * jnp.maximum(n_phar, 1.0)) + loss0_h
+            nll = loss_t + loss_0 + kl_prior
+        else:
+            loss_t = -cfg.timesteps * 0.5 * snr_weight * error_t
+            loss_0 = loss0_x + loss0_h + neg_log_constants
+            nll = loss_t + loss_0 + kl_prior
+            nll = nll - delta_log_px - log_pN
+
+        info = {
+            "error_t": jnp.mean(error_t),
+            "snr_weight": jnp.mean(snr_weight),
+            "loss_0": jnp.mean(loss_0),
+            "kl_prior": jnp.mean(kl_prior),
+            "neg_log_const_0": jnp.mean(neg_log_constants),
+            "log_pN": jnp.mean(log_pN),
+            "delta_log_px": jnp.mean(delta_log_px),
+            "eps_hat_x": jnp.mean(
+                jnp.sum(jnp.abs(net_out[..., :nd]), axis=(-1, -2))
+                / (nd * jnp.maximum(n_phar, 1.0))
+            ),
+        }
+        return nll, info
+
+    def _kl_prior(self, xh0_phar, mask_phar, n_phar):
+        """KL(q(z_T | x) || N(0, I)) (conditional_model.py:20-57)."""
+        cfg = self.cfg
+        nd = cfg.n_dims
+        gamma_T = self.gamma[-1]
+        alpha_T = sch.alpha(gamma_T)
+        sigma_T = sch.sigma(gamma_T)
+        mu_T = alpha_T * xh0_phar
+        mu_norm2_h = sum_except_batch(mu_T[..., nd:] ** 2, mask_phar)
+        mu_norm2_x = sum_except_batch(mu_T[..., :nd] ** 2, mask_phar)
+        kl_h = _gaussian_kl(mu_norm2_h, sigma_T, 1.0, 1.0)
+        d_x = self.subspace_dim(n_phar)
+        kl_x = _gaussian_kl(mu_norm2_x, sigma_T, 1.0, d_x)
+        return kl_x + kl_h
+
+    def _neg_log_pxh_given_z0(self, phar, z_0, eps, net_out, gamma_0):
+        """-log p(x, h | z0) without constants
+        (conditional_model.py:59-108). Returns (loss0_x [B], loss0_h [B])."""
+        cfg = self.cfg
+        nd = cfg.n_dims
+        eps_x = eps[..., :nd]
+        net_x = net_out[..., :nd]
+        loss0_x = 0.5 * sum_except_batch((eps_x - net_x) ** 2, phar.mask)
+
+        sigma_0 = sch.sigma(gamma_0)  # [B]
+        sigma_0_cat = _inflate(sigma_0 * cfg.norm_h)
+        phar_onehot = self.unnormalize_h(phar.h)
+        est_onehot = self.unnormalize_h(z_0[..., nd:])
+        centered = est_onehot - 1.0
+        log_ph_prop = jnp.log(
+            sch.cdf_standard_gaussian((centered + 0.5) / sigma_0_cat)
+            - sch.cdf_standard_gaussian((centered - 0.5) / sigma_0_cat)
+            + 1e-10
+        )
+        log_z = jax.scipy.special.logsumexp(log_ph_prop, axis=-1, keepdims=True)
+        log_probs = log_ph_prop - log_z
+        log_ph = sum_except_batch(log_probs * phar_onehot, phar.mask)
+        return loss0_x, -log_ph
+
+    # ------------------------------------------------------------- sampling
+
+    def _denoise_step(
+        self, params, rng, z_phar, xh_pocket, s_int, t_int, phar_mask, pocket_mask
+    ):
+        """One reverse step z_t -> z_s (conditional_model.py:342-386)."""
+        cfg = self.cfg
+        nd = cfg.n_dims
+        b = z_phar.shape[0]
+        gamma_s = jnp.full((b,), self._gamma_at_int(s_int))
+        gamma_t = jnp.full((b,), self._gamma_at_int(t_int))
+        sigma2_ts, sigma_ts, alpha_ts = sch.sigma_and_alpha_t_given_s(
+            gamma_t, gamma_s
+        )
+        sigma_s = sch.sigma(gamma_s)
+        sigma_t = sch.sigma(gamma_t)
+
+        t_norm = jnp.full((b, 1), t_int / cfg.timesteps)
+        eps_hat, _ = self.dynamics.apply(
+            params, z_phar, xh_pocket, t_norm, phar_mask, pocket_mask
+        )
+        mu = z_phar / _inflate(alpha_ts) - _inflate(
+            sigma2_ts / alpha_ts / sigma_t
+        ) * eps_hat
+        sigma = sigma_ts * sigma_s / sigma_t
+        return self._sample_normal_zero_com(
+            rng, mu, xh_pocket, sigma, phar_mask, pocket_mask
+        )
+
+    def _sample_normal_zero_com(
+        self, rng, mu_phar, xh_pocket, sigma, phar_mask, pocket_mask
+    ):
+        """Sample around mu and re-project to the CoM-free subspace
+        (conditional_model.py:136-156)."""
+        nd = self.cfg.n_dims
+        eps = jax.random.normal(rng, mu_phar.shape) * phar_mask[..., None]
+        out = mu_phar + _inflate(jnp.broadcast_to(sigma, (mu_phar.shape[0],))) * eps
+        out_x, pocket_x = self._center(
+            out[..., :nd], xh_pocket[..., :nd], phar_mask, pocket_mask
+        )
+        out = jnp.concatenate([out_x, out[..., nd:]], axis=-1)
+        xh_pocket = jnp.concatenate([pocket_x, xh_pocket[..., nd:]], axis=-1)
+        return out, xh_pocket
+
+    def sample_given_pocket(
+        self,
+        params,
+        rng: jax.Array,
+        pocket: PointCloud,
+        num_nodes_phar: jnp.ndarray,
+        n_phar_max: int,
+        timesteps: Optional[int] = None,
+    ) -> Tuple[PointCloud, PointCloud]:
+        """Ancestral sampling of pharmacophore clouds for given pockets.
+
+        Equivalent of conditional_model.py:412-475 with the T-step Python
+        loop replaced by one on-device lax.scan.
+
+        Returns (phar, pocket_out) in *model* scale already unnormalized;
+        pocket_out may be translated relative to the input (the caller
+        shifts back by the pocket-CoM difference, as the reference does in
+        lightning_modules.py:497-504).
+        """
+        cfg = self.cfg
+        nd = cfg.n_dims
+        T = cfg.timesteps if timesteps is None else timesteps
+        b = pocket.batch
+        pocket = self.normalize(pocket)
+
+        if not cfg.com_free:
+            pocket_com = masked_mean(pocket.x, pocket.mask)
+            pocket = pocket.replace(x=pocket.x - pocket_com[:, None, :])
+
+        phar_mask = mask_from_sizes(num_nodes_phar, n_phar_max)
+        xh0_pocket = pocket.xh
+
+        # init: z ~ N(pocket CoM, I), then CoM-projected
+        k_init, k_scan, k_final = jax.random.split(rng, 3)
+        mu_x = jnp.broadcast_to(
+            masked_mean(pocket.x, pocket.mask)[:, None, :], (b, n_phar_max, nd)
+        )
+        mu_h = jnp.zeros((b, n_phar_max, self.phar_nf))
+        mu = jnp.concatenate([mu_x, mu_h], axis=-1) * phar_mask[..., None]
+        z_phar, xh_pocket = self._sample_normal_zero_com(
+            k_init, mu, xh0_pocket, jnp.ones(()), phar_mask, pocket.mask
+        )
+
+        def step(carry, s):
+            z, xh_pkt, key = carry
+            key, sub = jax.random.split(key)
+            z, xh_pkt = self._denoise_step(
+                params, sub, z, xh_pkt, s.astype(jnp.float32),
+                (s + 1).astype(jnp.float32), phar_mask, pocket.mask
+            )
+            return (z, xh_pkt, key), None
+
+        (z_phar, xh_pocket, _), _ = jax.lax.scan(
+            step,
+            (z_phar, xh_pocket, k_scan),
+            jnp.arange(T - 1, -1, -1),
+        )
+
+        # final p(x, h | z0) (conditional_model.py:110-135)
+        gamma_0 = jnp.full((b,), self.gamma[0])
+        sigma_x = sch.snr(-0.5 * gamma_0)
+        t_zeros = jnp.zeros((b, 1))
+        net_out, _ = self.dynamics.apply(
+            params, z_phar, xh_pocket, t_zeros, phar_mask, pocket.mask
+        )
+        a0, s0 = sch.alpha(gamma_0), sch.sigma(gamma_0)
+        mu_x_final = (z_phar - _inflate(s0) * net_out) / _inflate(a0)
+        xh_phar, xh_pocket = self._sample_normal_zero_com(
+            k_final, mu_x_final, xh_pocket, sigma_x, phar_mask, pocket.mask
+        )
+
+        x_phar = self.unnormalize_x(xh_phar[..., :nd])
+        # discrete types are taken from z0 (conditional_model.py:125-133)
+        h_logits = self.unnormalize_h(z_phar[..., nd:])
+        h_phar = jax.nn.one_hot(jnp.argmax(h_logits, axis=-1), self.phar_nf)
+        x_pocket = self.unnormalize_x(xh_pocket[..., :nd])
+        h_pocket = self.unnormalize_h(xh_pocket[..., nd:])
+
+        # unconditional CoG projection replaces the reference's drift check
+        if cfg.com_free:
+            x_phar, x_pocket = remove_mean_conditional(
+                x_phar, x_pocket, phar_mask, pocket.mask
+            )
+
+        phar_out = PointCloud(x=x_phar, h=h_phar * phar_mask[..., None], mask=phar_mask)
+        pocket_out = PointCloud(x=x_pocket, h=h_pocket, mask=pocket.mask)
+        return phar_out, pocket_out
+
+
+def _gaussian_kl(mu_norm2, q_sigma, p_sigma, d):
+    """KL between diagonal normals (en_diffusion.py:833-848)."""
+    return (
+        d * jnp.log(p_sigma / q_sigma)
+        + 0.5 * (d * q_sigma**2 + mu_norm2) / p_sigma**2
+        - 0.5 * d
+    )

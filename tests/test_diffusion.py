@@ -1,0 +1,165 @@
+"""Conditional DDPM: loss structure, sampler invariants, tiny overfit."""
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+import pytest
+
+from cmdgen_tpu.containers import PointCloud, mask_from_sizes
+from cmdgen_tpu.diffusion.cddpm import ConditionalDDPM, DDPMConfig
+from cmdgen_tpu.diffusion.size_prior import SizePrior
+from cmdgen_tpu.models.dynamics import DynamicsConfig, EGNNDynamics
+from cmdgen_tpu.models.egnn import EGNNConfig
+from cmdgen_tpu.ops.masked import masked_sum
+
+PHAR_NF, POCKET_NF = 8, 5
+NP_MAX, NQ_MAX = 6, 12
+
+
+def _make_model(com_free=True, loss_type="l2", T=20):
+    dyn = EGNNDynamics(
+        DynamicsConfig(
+            phar_nf=PHAR_NF,
+            residue_nf=POCKET_NF,
+            joint_nf=8,
+            edge_cutoff=None,
+            update_pocket_coords=False,
+            egnn=EGNNConfig(hidden_nf=16, n_layers=1, inv_sublayers=1),
+        )
+    )
+    hist = np.ones((NP_MAX + 1, NQ_MAX + 1))
+    cfg = DDPMConfig(timesteps=T, loss_type=loss_type, com_free=com_free)
+    return ConditionalDDPM(cfg, dyn, SizePrior(hist))
+
+
+def _make_batch(rng, b=3):
+    sizes_p = rng.randint(2, NP_MAX + 1, size=b)
+    sizes_q = rng.randint(4, NQ_MAX + 1, size=b)
+    mp = mask_from_sizes(jnp.asarray(sizes_p), NP_MAX)
+    mq = mask_from_sizes(jnp.asarray(sizes_q), NQ_MAX)
+    hp = jax.nn.one_hot(
+        jnp.asarray(rng.randint(0, PHAR_NF, size=(b, NP_MAX))), PHAR_NF
+    )
+    hq = jax.nn.one_hot(
+        jnp.asarray(rng.randint(0, POCKET_NF, size=(b, NQ_MAX))), POCKET_NF
+    )
+    phar = PointCloud(
+        x=jnp.asarray(rng.randn(b, NP_MAX, 3), dtype=jnp.float32),
+        h=hp * mp[..., None],
+        mask=mp,
+    )
+    pocket = PointCloud(
+        x=jnp.asarray(rng.randn(b, NQ_MAX, 3) * 2, dtype=jnp.float32),
+        h=hq * mq[..., None],
+        mask=mq,
+    )
+    return phar, pocket
+
+
+@pytest.fixture(scope="module")
+def model_and_params():
+    model = _make_model()
+    rng = np.random.RandomState(0)
+    phar, pocket = _make_batch(rng)
+    t = jnp.zeros((phar.batch, 1))
+    params = model.dynamics.init(
+        jax.random.PRNGKey(0), phar.xh, pocket.xh, t, phar.mask, pocket.mask
+    )
+    return model, params, phar, pocket
+
+
+def test_loss_shapes_and_finiteness(model_and_params):
+    model, params, phar, pocket = model_and_params
+    nll, info = model.loss(params, jax.random.PRNGKey(1), phar, pocket, True)
+    assert nll.shape == (phar.batch,)
+    assert bool(jnp.all(jnp.isfinite(nll)))
+    for k, v in info.items():
+        assert bool(jnp.isfinite(v)), k
+
+
+def test_vlb_loss_runs(model_and_params):
+    model, params, phar, pocket = model_and_params
+    model_vlb = _make_model(loss_type="vlb")
+    nll, _ = model_vlb.loss(params, jax.random.PRNGKey(2), phar, pocket, False)
+    assert bool(jnp.all(jnp.isfinite(nll)))
+
+
+def test_kl_prior_small(model_and_params):
+    """With a well-formed schedule, q(z_T|x) ~ N(0,1) so the prior KL is tiny
+    (the reference keeps this term as a schedule sanity check)."""
+    model, params, phar, pocket = model_and_params
+    phar_n = model.normalize(phar)
+    x_c, _ = model._center(phar_n.x, pocket.x, phar.mask, pocket.mask)
+    xh0 = jnp.concatenate([x_c, phar_n.h], axis=-1)
+    kl = model._kl_prior(xh0, phar.mask, phar.size)
+    assert float(jnp.max(jnp.abs(kl))) < 0.1
+
+
+def test_sampler_invariants(model_and_params):
+    model, params, phar, pocket = model_and_params
+    num_nodes = jnp.asarray([3, 5, 6])
+    sample_fn = jax.jit(
+        functools.partial(model.sample_given_pocket, n_phar_max=NP_MAX)
+    )
+    out_phar, out_pocket = sample_fn(
+        params, jax.random.PRNGKey(3), pocket, num_nodes
+    )
+    # sizes respected
+    np.testing.assert_array_equal(np.asarray(out_phar.size), [3, 5, 6])
+    # one-hot types on valid nodes
+    hsum = np.asarray(jnp.sum(out_phar.h, axis=-1))
+    msk = np.asarray(out_phar.mask)
+    np.testing.assert_allclose(hsum * msk, msk, atol=1e-6)
+    # CoM-free: pharmacophore CoM is ~0 relative to cloud scale
+    com = np.asarray(masked_sum(out_phar.x, out_phar.mask))
+    scale = np.abs(np.asarray(out_phar.x)).max() + 1e-9
+    assert np.abs(com).max() / scale < 1e-2
+    # outputs finite
+    assert np.isfinite(np.asarray(out_phar.x)).all()
+    # pocket relative geometry preserved (only translated)
+    d_in = np.asarray(pocket.x[0, 1] - pocket.x[0, 0])
+    d_out = np.asarray(out_pocket.x[0, 1] - out_pocket.x[0, 0])
+    np.testing.assert_allclose(d_in, d_out, atol=1e-3)
+
+
+def test_simple_variant_runs():
+    model = _make_model(com_free=False)
+    rng = np.random.RandomState(4)
+    phar, pocket = _make_batch(rng)
+    t = jnp.zeros((phar.batch, 1))
+    params = model.dynamics.init(
+        jax.random.PRNGKey(0), phar.xh, pocket.xh, t, phar.mask, pocket.mask
+    )
+    nll, _ = model.loss(params, jax.random.PRNGKey(5), phar, pocket, True)
+    assert bool(jnp.all(jnp.isfinite(nll)))
+    out_phar, _ = model.sample_given_pocket(
+        params, jax.random.PRNGKey(6), pocket, jnp.asarray([3, 4, 5]), NP_MAX
+    )
+    assert np.isfinite(np.asarray(out_phar.x)).all()
+
+
+def test_overfit_tiny_batch(model_and_params):
+    """One jitted train step must reduce the loss on a fixed tiny batch."""
+    model, params, phar, pocket = model_and_params
+    opt = optax.adamw(1e-3)
+    opt_state = opt.init(params)
+
+    @jax.jit
+    def step(params, opt_state, key):
+        def loss_fn(p):
+            nll, _ = model.loss(p, key, phar, pocket, True)
+            return jnp.mean(nll)
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state = opt.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), opt_state, loss
+
+    key = jax.random.PRNGKey(7)
+    first = None
+    for i in range(30):
+        params, opt_state, loss = step(params, opt_state, key)  # fixed key
+        if first is None:
+            first = float(loss)
+    assert float(loss) < first, (first, float(loss))
