@@ -1,0 +1,92 @@
+"""Headline benchmark: EGNN denoise steps/sec/chip on real TPU hardware.
+
+Measures the hot loop of the whole pipeline — batched reverse-diffusion
+sampling of pharmacophore clouds given pockets (one "denoise step" = one
+EGNN denoiser evaluation for one sample; a batch of B samples over T scan
+steps is B*T denoise steps). Shapes follow the CA-pocket flagship config
+(crossdocked_ca_cond.yml: hidden 256, 5 layers, T=500, pocket ~100 CA atoms),
+with bf16 compute on the MXU.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+vs_baseline is measured against the driver-set north star of 50k
+denoise steps/sec/chip (BASELINE.json) — the reference itself publishes no
+numbers (BASELINE.md).
+"""
+from __future__ import annotations
+
+import dataclasses
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+
+
+def main():
+    from cmdgen_tpu.config import ca_config
+    from cmdgen_tpu.containers import PointCloud, mask_from_sizes
+    from cmdgen_tpu.diffusion.cddpm import ConditionalDDPM
+    from cmdgen_tpu.models.dynamics import EGNNDynamics
+    from cmdgen_tpu.models.egnn import EGNNConfig
+
+    cfg = ca_config()
+    egnn = dataclasses.replace(cfg.dynamics.egnn, compute_dtype=jnp.bfloat16)
+    dyn_cfg = dataclasses.replace(cfg.dynamics, egnn=egnn)
+    dynamics = EGNNDynamics(dyn_cfg)
+    model = ConditionalDDPM(cfg.ddpm, dynamics)
+
+    b, n_p, n_q = 64, 8, 110
+    t_steps = 100  # timed slice of the T=500 chain (steps/sec is invariant)
+    rng = jax.random.PRNGKey(0)
+    k1, k2, k3 = jax.random.split(rng, 3)
+    pocket = PointCloud(
+        x=jax.random.normal(k1, (b, n_q, 3)) * 4.0,
+        h=jax.nn.one_hot(
+            jax.random.randint(k2, (b, n_q), 0, dyn_cfg.residue_nf),
+            dyn_cfg.residue_nf,
+        ),
+        mask=mask_from_sizes(jnp.full((b,), n_q), n_q),
+    )
+    params = dynamics.init(
+        k3,
+        jnp.zeros((b, n_p, 3 + dyn_cfg.phar_nf)),
+        pocket.xh,
+        jnp.zeros((b, 1)),
+        jnp.ones((b, n_p)),
+        pocket.mask,
+    )
+    num_nodes = jnp.full((b,), n_p)
+
+    sample = jax.jit(
+        lambda params, rng: model.sample_given_pocket(
+            params, rng, pocket, num_nodes, n_p, timesteps=t_steps
+        )
+    )
+    # warmup / compile
+    out = sample(params, jax.random.PRNGKey(1))
+    jax.block_until_ready(out)
+
+    times = []
+    for i in range(3):
+        t0 = time.perf_counter()
+        out = sample(params, jax.random.PRNGKey(2 + i))
+        jax.block_until_ready(out)
+        times.append(time.perf_counter() - t0)
+    dt = min(times)
+    steps_per_sec = b * t_steps / dt
+
+    print(
+        json.dumps(
+            {
+                "metric": "egnn_denoise_steps_per_sec_per_chip",
+                "value": round(steps_per_sec, 2),
+                "unit": "denoise steps/s/chip (CA config: hidden 256, 5 layers, N=118, bf16)",
+                "vs_baseline": round(steps_per_sec / 50000.0, 4),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

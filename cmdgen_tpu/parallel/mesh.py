@@ -1,0 +1,49 @@
+"""Mesh construction and sharding helpers.
+
+The reference's only distributed strategy is PyTorch-Lightning DDP over NCCL
+(DiffPhar/train.py:117-118). The TPU-native replacement: a jax.sharding.Mesh
+over ICI with the batch dimension sharded on the ``dp`` axis and parameters
+replicated; XLA inserts the gradient all-reduce. A ``tp`` axis is reserved
+for sharding wide hidden dimensions of the EGNN / transformer.
+"""
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(
+    dp: Optional[int] = None, tp: int = 1, devices: Optional[Sequence] = None
+) -> Mesh:
+    """Build a (dp, tp) mesh. dp defaults to n_devices // tp."""
+    devices = list(devices if devices is not None else jax.devices())
+    n = len(devices)
+    if dp is None:
+        dp = n // tp
+    if dp * tp != n:
+        raise ValueError(f"dp*tp={dp*tp} != n_devices={n}")
+    arr = np.asarray(devices).reshape(dp, tp)
+    return Mesh(arr, axis_names=("dp", "tp"))
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    """Shard the leading (batch) axis across dp; replicate the rest."""
+    return NamedSharding(mesh, P("dp"))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(tree, mesh: Mesh):
+    """Place every array in a batch pytree with its leading axis on dp."""
+    s = batch_sharding(mesh)
+    return jax.tree_util.tree_map(lambda a: jax.device_put(a, s), tree)
+
+
+def replicate(tree, mesh: Mesh):
+    s = replicated(mesh)
+    return jax.tree_util.tree_map(lambda a: jax.device_put(a, s), tree)

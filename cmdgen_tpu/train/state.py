@@ -1,0 +1,103 @@
+"""Train state and the adaptive gradient-clipping used by the reference.
+
+The reference clips gradients at mean + 1.5*std of the last 50 gradient
+norms, seeded with a large initial value (DiffPhar/lightning_modules.py:
+543-568 + utils.py:12-29 Queue). Rebuilt as a pure functional ring buffer
+inside the train state so the whole update stays inside one jit.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+
+GRAD_QUEUE_LEN = 50
+GRAD_QUEUE_INIT = 3000.0  # reference seeds the queue with 3000 (lightning_modules.py:49)
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class TrainState:
+    params: Any
+    opt_state: Any
+    step: jnp.ndarray
+    grad_norms: jnp.ndarray  # [GRAD_QUEUE_LEN] ring buffer of recent norms
+    ema_params: Optional[Any] = None
+
+
+def init_state(params, optimizer: optax.GradientTransformation,
+               ema: bool = False) -> TrainState:
+    queue = jnp.full((GRAD_QUEUE_LEN,), GRAD_QUEUE_INIT, dtype=jnp.float32)
+    return TrainState(
+        params=params,
+        opt_state=optimizer.init(params),
+        step=jnp.zeros((), dtype=jnp.int32),
+        grad_norms=queue,
+        ema_params=jax.tree_util.tree_map(jnp.copy, params) if ema else None,
+    )
+
+
+def global_norm(grads) -> jnp.ndarray:
+    return optax.global_norm(grads)
+
+
+def adaptive_clip(grads, grad_norms: jnp.ndarray):
+    """Clip grads to mean + 1.5*std of the recent-norm queue.
+
+    Returns (clipped_grads, new_queue, raw_norm).
+    """
+    norm = global_norm(grads)
+    max_norm = jnp.mean(grad_norms) + 1.5 * jnp.std(grad_norms)
+    scale = jnp.minimum(1.0, max_norm / (norm + 1e-12))
+    grads = jax.tree_util.tree_map(lambda g: g * scale, grads)
+    # queue records the clipped norm, like PL's gradient_clip_val behavior
+    new_queue = jnp.concatenate(
+        [grad_norms[1:], jnp.minimum(norm, max_norm)[None]]
+    )
+    return grads, new_queue, norm
+
+
+def make_diffusion_train_step(model, optimizer: optax.GradientTransformation,
+                              clip_grad: bool = True):
+    """Build the jittable train step for the conditional DDPM.
+
+    step(state, rng, phar, pocket) -> (state, metrics)
+    """
+
+    def step(state: TrainState, rng, phar, pocket):
+        def loss_fn(params):
+            nll, info = model.loss(params, rng, phar, pocket, training=True)
+            return jnp.mean(nll), info
+
+        (loss, info), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params
+        )
+        if clip_grad:
+            grads, queue, raw_norm = adaptive_clip(grads, state.grad_norms)
+        else:
+            queue, raw_norm = state.grad_norms, global_norm(grads)
+        updates, opt_state = optimizer.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        new_state = TrainState(
+            params=params,
+            opt_state=opt_state,
+            step=state.step + 1,
+            grad_norms=queue,
+            ema_params=state.ema_params,
+        )
+        metrics = dict(info, loss=loss, grad_norm=raw_norm)
+        return new_state, metrics
+
+    return step
+
+
+def reference_optimizer(lr: float = 1e-4) -> optax.GradientTransformation:
+    """AdamW(amsgrad, wd=1e-12) equivalent (lightning_modules.py:141-143)."""
+    return optax.chain(
+        optax.scale_by_amsgrad(),
+        optax.add_decayed_weights(1e-12),
+        optax.scale_by_learning_rate(lr),
+    )

@@ -1,0 +1,86 @@
+"""Data-parallel training on the virtual 8-device mesh.
+
+The key multi-chip invariant (SURVEY.md §4c): the pjit data-parallel
+gradient step equals the single-device step on the same global batch.
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from cmdgen_tpu.containers import PointCloud, mask_from_sizes
+from cmdgen_tpu.diffusion.cddpm import ConditionalDDPM, DDPMConfig
+from cmdgen_tpu.models.dynamics import DynamicsConfig, EGNNDynamics
+from cmdgen_tpu.models.egnn import EGNNConfig
+from cmdgen_tpu.parallel import mesh as pmesh
+from cmdgen_tpu.train import state as tstate
+
+
+def _setup(b=8):
+    dyn = EGNNDynamics(
+        DynamicsConfig(
+            phar_nf=8, residue_nf=4, joint_nf=8, edge_cutoff=None,
+            egnn=EGNNConfig(hidden_nf=16, n_layers=1, inv_sublayers=1),
+        )
+    )
+    model = ConditionalDDPM(DDPMConfig(timesteps=10), dyn)
+    rng = np.random.RandomState(0)
+    n_p, n_q = 5, 9
+    phar = PointCloud(
+        x=jnp.asarray(rng.randn(b, n_p, 3), dtype=jnp.float32),
+        h=jax.nn.one_hot(jnp.asarray(rng.randint(0, 8, (b, n_p))), 8),
+        mask=mask_from_sizes(jnp.full((b,), n_p), n_p),
+    )
+    pocket = PointCloud(
+        x=jnp.asarray(rng.randn(b, n_q, 3), dtype=jnp.float32),
+        h=jax.nn.one_hot(jnp.asarray(rng.randint(0, 4, (b, n_q))), 4),
+        mask=mask_from_sizes(jnp.full((b,), n_q), n_q),
+    )
+    params = dyn.init(
+        jax.random.PRNGKey(0), phar.xh, pocket.xh, jnp.zeros((b, 1)),
+        phar.mask, pocket.mask,
+    )
+    return model, params, phar, pocket
+
+
+def test_mesh_construction():
+    m = pmesh.make_mesh(dp=4, tp=2)
+    assert m.shape == {"dp": 4, "tp": 2}
+
+
+def test_dp_step_matches_single_device():
+    assert len(jax.devices()) >= 8, "conftest should provide 8 CPU devices"
+    model, params, phar, pocket = _setup(b=8)
+    optimizer = tstate.reference_optimizer(1e-3)
+    train_step = tstate.make_diffusion_train_step(model, optimizer, clip_grad=True)
+    rng = jax.random.PRNGKey(3)
+
+    # single device
+    state1 = tstate.init_state(params, optimizer)
+    state1, metrics1 = jax.jit(train_step)(state1, rng, phar, pocket)
+
+    # 8-way data parallel
+    m = pmesh.make_mesh(dp=8, tp=1)
+    state8 = tstate.init_state(params, optimizer)
+    state8 = pmesh.replicate(state8, m)
+    phar8 = pmesh.shard_batch(phar, m)
+    pocket8 = pmesh.shard_batch(pocket, m)
+    with m:
+        state8, metrics8 = jax.jit(train_step)(state8, rng, phar8, pocket8)
+
+    np.testing.assert_allclose(
+        float(metrics1["loss"]), float(metrics8["loss"]), rtol=1e-4
+    )
+    l1 = jax.tree_util.tree_leaves(state1.params)
+    l8 = jax.tree_util.tree_leaves(state8.params)
+    for a, b_ in zip(l1, l8):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_), atol=1e-5)
+
+
+def test_graft_entry_and_dryrun():
+    import __graft_entry__ as ge
+
+    fn, args = ge.entry()
+    out = jax.jit(fn)(*args)
+    eps_phar, eps_pocket = out
+    assert eps_phar.shape[-1] == 3 + 8
+    ge.dryrun_multichip(8)
