@@ -1,0 +1,94 @@
+"""Regex SMILES tokenizer.
+
+Behavioral equivalent of GCPG's Tokenizer (GCPG/utils/dataset.py:20-116):
+same token pattern (bracket atoms; two-char halogens; aromatic organic
+subset; stereo @@/@; two-digit ring closures %dd; any other single char),
+same 32 reserved special-token slots, same unknown→<mask> policy, and the
+same vocabulary ordering rule (specials first, then tokens sorted by
+(length, lexicographic)) so vocab files are interoperable across runs.
+"""
+from __future__ import annotations
+
+import re
+from typing import Iterable, List, Sequence, Tuple
+
+NUM_RESERVED_TOKENS = 32
+SPECIAL_TOKENS: Tuple[str, ...] = ("<sos>", "<eos>", "<pad>", "<mask>", "<sep>", "<unk>")
+SPECIAL_TOKENS += tuple(
+    f"<t_{i}>" for i in range(len(SPECIAL_TOKENS), NUM_RESERVED_TOKENS)
+)
+
+PATTERN = re.compile(
+    r"\[[^\]]+\]"
+    r"|B[r]?|C[l]?|N|O|P|S|F|I"
+    r"|[bcnops]"
+    r"|@@|@"
+    r"|%\d{2}"
+    r"|."
+)
+
+ATOM_PATTERN = re.compile(
+    r"\[[^\]]+\]"
+    r"|B[r]?|C[l]?|N|O|P|S|F|I"
+    r"|[bcnops]"
+)
+
+
+def gen_vocabs(smiles_list: Iterable[str]) -> set:
+    vocabs = set()
+    for s in set(smiles_list):
+        vocabs.update(PATTERN.findall(s))
+    return vocabs
+
+
+class Tokenizer:
+    SOS, EOS, PAD, MASK = 0, 1, 2, 3
+
+    def __init__(self, vocabs: Iterable[str]):
+        specials = list(SPECIAL_TOKENS)
+        rest = sorted(set(vocabs) - set(specials), key=lambda x: (len(x), x))
+        self.vocabs: List[str] = specials + rest
+        self.i2s = dict(enumerate(self.vocabs))
+        self.s2i = {s: i for i, s in self.i2s.items()}
+
+    def __len__(self) -> int:
+        return len(self.vocabs)
+
+    def parse(self, smiles: str, return_atom_idx: bool = False):
+        """SMILES -> [<sos>, tokens..., <eos>] ids; unknown tokens map to
+        <mask> (id 3), matching the reference (dataset.py:78-80)."""
+        ids: List[int] = []
+        atom_idx: List[int] = []
+        for i, tok in enumerate(("<sos>", *PATTERN.findall(smiles), "<eos>")):
+            ids.append(self.s2i.get(tok, self.MASK))
+            if return_atom_idx and ATOM_PATTERN.fullmatch(tok) is not None:
+                atom_idx.append(i)
+        if return_atom_idx:
+            return ids, atom_idx
+        return ids
+
+    def get_text(self, predictions: Sequence[Sequence[int]]) -> List[str]:
+        """Decode id sequences, stopping at <eos> (dataset.py:102-116)."""
+        out = []
+        for p in predictions:
+            chars = []
+            for i in p:
+                tok = self.i2s[int(i)]
+                if tok == "<eos>":
+                    break
+                chars.append(tok)
+            out.append("".join(chars))
+        return out
+
+    def to_list(self) -> List[str]:
+        """Serializable vocabulary (replaces the reference's tokenizer
+        pickles, train_chembl33_baseline.py:457-458)."""
+        return list(self.vocabs)
+
+    @classmethod
+    def from_list(cls, vocabs: Sequence[str]) -> "Tokenizer":
+        t = cls([])
+        t.vocabs = list(vocabs)
+        t.i2s = dict(enumerate(t.vocabs))
+        t.s2i = {s: i for i, s in t.i2s.items()}
+        return t

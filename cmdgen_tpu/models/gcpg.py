@@ -1,0 +1,313 @@
+"""GCPG: pharmacophore-graph + property-conditioned CVAE SMILES generator.
+
+Behavioral equivalent of the reference GCPG model (GCPG/model/gcpg.py:21-324):
+a CVAE whose posterior encoder reads [condition ‖ pp-graph nodes ‖ SMILES
+tokens], pools tokens with a ones-query attention, reparameterizes a single
+latent z, fuses [condition ‖ pp nodes ‖ z] with a second encoder into the
+decoder memory, and decodes SMILES autoregressively with an atom↔pharmacophore
+mapping head on the decoder states.
+
+TPU-native differences:
+- batch-first tensors; DGL graphs replaced by dense [B, 8, ·] pp tensors
+  (models/ppencoder.py); fairseq incremental decode replaced by a
+  fixed-shape KV cache driven from one lax.scan (``generate``).
+- the reference marks its condition token as *padding* in every attention
+  mask (gcpg.py:208-210: cond_mask = ones = masked in fairseq), so the
+  property conditions could never influence generation — a bug, per the
+  survey's guidance on quirks. Here conditions are attendable.
+- the pp-node pad value -999 (gcpg.py:177-183) is replaced by a proper
+  validity mask.
+"""
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from cmdgen_tpu.config import GCPGModelConfig
+from cmdgen_tpu.models.transformer import (
+    MHA,
+    TransformerConfig,
+    TransformerDecoder,
+    TransformerEncoder,
+    sinusoidal_positions,
+)
+
+
+class MLPBlock(nn.Module):
+    """Dense → PReLU → LayerNorm → Dense (the reference's little heads)."""
+
+    dim: int
+    out: Optional[int] = None
+
+    @nn.compact
+    def __call__(self, x):
+        x = nn.Dense(self.dim)(x)
+        x = nn.PReLU()(x)
+        x = nn.LayerNorm()(x)
+        return nn.Dense(self.out or self.dim)(x)
+
+
+class ReluMLP(nn.Module):
+    dim: int
+
+    @nn.compact
+    def __call__(self, x):
+        x = nn.Dense(self.dim)(x)
+        x = nn.relu(x)
+        return nn.Dense(self.dim)(x)
+
+
+class GCPG(nn.Module):
+    cfg: GCPGModelConfig
+    vocab_size: int
+    sos_value: int = 0
+    eos_value: int = 1
+    pad_value: int = 2
+
+    def setup(self):
+        c = self.cfg
+        h = c.hidden_dim
+        tcfg = TransformerConfig(
+            dim=h, ff_dim=c.ff_dim, n_head=c.n_head, n_layers=c.n_layers,
+            dropout=c.dropout, attention_dropout=c.dropout,
+        )
+        self.cond_embedding = MLPBlock(h, name="cond_embedding")
+        self.pp_v_init = nn.Dense(h, name="pp_v_init")
+        self.pp_e_init = nn.Dense(h, name="pp_e_init")
+        from cmdgen_tpu.models.ppencoder import PPEncoder
+
+        self.pp_encoder = PPEncoder(
+            h, n_layers=c.pp_encoder_n_layer, num_heads=8, name="pp_encoder"
+        )
+        self.encoder = TransformerEncoder(tcfg, name="encoder")
+        self.pool_attention = MHA(h, c.n_head, name="pool_attention")
+        self.dencoder = TransformerEncoder(tcfg, name="dencoder")
+        self.decoder = TransformerDecoder(tcfg, name="decoder")
+        self.word_embed = nn.Embed(self.vocab_size, h, name="word_embed")
+        self.word_pred = MLPBlock(h, self.vocab_size, name="word_pred")
+        self.z_mean = ReluMLP(h, name="z_mean")
+        self.z_var = ReluMLP(h, name="z_var")
+        self.expand = ReluMLPWithLN(h, name="expand")
+        self.pp_seg = self.param("pp_seg", nn.initializers.normal(1.0), (h,))
+        self.zz_seg = self.param("zz_seg", nn.initializers.normal(1.0), (h,))
+        self.mapping_v = PReLUMLP(h, name="mapping_v")
+        self.mapping_p = PReLUMLP(h, name="mapping_p")
+        self.pos = sinusoidal_positions(c.max_len + 1, h)
+
+    # -------------------------------------------------------------- pieces
+
+    def process_p(self, pp_h, pp_e, pp_mask, deterministic=True):
+        """Encode pp graphs -> (vv [B,8,H], vvs with segment enc).
+        (reference process_p, gcpg.py:170-185)"""
+        v = self.pp_v_init(pp_h)
+        e = self.pp_e_init(
+            jnp.zeros_like(pp_e) if self.cfg.remove_pp_dis else pp_e
+        )
+        v = self.pp_encoder(v, e, pp_mask, deterministic=deterministic)
+        vv = v * pp_mask[..., None]
+        vvs = vv + self.pp_seg
+        return vv, vvs
+
+    def embed_cond(self, conditions):
+        """[B, cond_dim] -> [B, 1, H] condition prefix token."""
+        return self.cond_embedding(conditions)[:, None, :]
+
+    def posterior_z(self, key, inputs, input_valid, vvs, pp_mask, cond_emb,
+                    deterministic=True):
+        """q(z | cond, pp, tokens): encoder + ones-query attention pooling +
+        reparameterization (gcpg.py:129-168)."""
+        x = self.word_embed(inputs)
+        s = x.shape[1]
+        x = x + self.pos[None, :s, :]
+        seq = jnp.concatenate([cond_emb, vvs, x], axis=1)
+        valid = jnp.concatenate(
+            [
+                jnp.ones((x.shape[0], 1)),
+                pp_mask,
+                input_valid,
+            ],
+            axis=1,
+        )
+        enc = self.encoder(seq, valid, deterministic=deterministic)
+        tok = enc[:, 1 + self.cfg.n_pp_max :, :]
+        ones_q = jnp.ones((tok.shape[0], 1, tok.shape[-1]))
+        pooled = self.pool_attention(ones_q, tok, valid_kv=input_valid)[:, 0, :]
+
+        if self.cfg.non_vae:
+            z = jax.random.normal(key, pooled.shape)
+            return z, jnp.zeros(())
+        mean = self.z_mean(pooled)
+        log_var = -jnp.abs(self.z_var(pooled))
+        kl = -0.5 * jnp.sum(1 + log_var - mean**2 - jnp.exp(log_var)) / mean.shape[0]
+        eps = jax.random.normal(key, mean.shape)
+        z = mean + jnp.exp(log_var / 2.0) * eps
+        return z, kl
+
+    def fuse_memory(self, z, vvs, pp_mask, cond_emb, deterministic=True):
+        """[cond ‖ pp ‖ z] -> decoder memory (gcpg.py:187-202).
+        Returns (memory [B, 1+8+1, H], mem_valid)."""
+        zz = self.expand(z)[:, None, :] + self.pos[None, :1, :]
+        zzs = zz + self.zz_seg
+        mem = jnp.concatenate([cond_emb, vvs, zzs], axis=1)
+        valid = jnp.concatenate(
+            [
+                jnp.ones((z.shape[0], 1)),
+                pp_mask,
+                jnp.ones((z.shape[0], 1)),
+            ],
+            axis=1,
+        )
+        mem = self.dencoder(mem, valid, deterministic=deterministic)
+        return mem, valid
+
+    # ------------------------------------------------------------ training
+
+    def __call__(self, key, inputs, input_valid, pp_h, pp_e, pp_mask,
+                 targets, conditions, deterministic=True):
+        """Teacher-forced training forward (gcpg.py:205-240).
+
+        Returns (logits [B,S,V], mapping_scores [B,S,8], lm_loss, kl_loss).
+        """
+        vv, vvs = self.process_p(pp_h, pp_e, pp_mask, deterministic)
+        cond_emb = self.embed_cond(conditions)
+        z, kl = self.posterior_z(
+            key, inputs, input_valid, vvs, pp_mask, cond_emb, deterministic
+        )
+        mem, mem_valid = self.fuse_memory(z, vvs, pp_mask, cond_emb, deterministic)
+
+        s = targets.shape[1]
+        temb = self.word_embed(targets) + self.pos[None, :s, :]
+        out = self.decoder(temb, mem, mem_valid, deterministic=deterministic)
+        logits = self.word_pred(out)
+
+        # atom <-> pharmacophore mapping head (gcpg.py:229-232)
+        mxx = self.mapping_v(out)
+        mvv = self.mapping_p(vv)
+        mapping_scores = jax.nn.sigmoid(
+            jnp.einsum("bsh,bph->bsp", mxx, mvv)
+        )
+
+        # token LM loss, shifted, ignoring pad (gcpg.py:234-238)
+        shifted = logits[:, :-1, :]
+        labels = targets[:, 1:]
+        logp = jax.nn.log_softmax(shifted, axis=-1)
+        nll = -jnp.take_along_axis(logp, labels[..., None], axis=-1)[..., 0]
+        not_pad = (labels != self.pad_value).astype(jnp.float32)
+        lm_loss = jnp.sum(nll * not_pad) / jnp.maximum(jnp.sum(not_pad), 1.0)
+
+        return logits, mapping_scores, lm_loss, kl
+
+    # ----------------------------------------------------------- inference
+
+    def prior_memory(self, key, pp_h, pp_e, pp_mask, conditions):
+        """z ~ N(0, I) + memory for prior-sampled generation (gcpg.py:307-318)."""
+        vv, vvs = self.process_p(pp_h, pp_e, pp_mask)
+        cond_emb = self.embed_cond(conditions)
+        z = jax.random.normal(key, (pp_h.shape[0], self.cfg.hidden_dim))
+        mem, mem_valid = self.fuse_memory(z, vvs, pp_mask, cond_emb)
+        return mem, mem_valid
+
+    def posterior_memory(self, key, inputs, input_valid, pp_h, pp_e, pp_mask,
+                         conditions):
+        """Posterior-conditioned memory (the reference's ag_forward path,
+        gcpg.py:292-305)."""
+        vv, vvs = self.process_p(pp_h, pp_e, pp_mask)
+        cond_emb = self.embed_cond(conditions)
+        z, kl = self.posterior_z(key, inputs, input_valid, vvs, pp_mask, cond_emb)
+        mem, mem_valid = self.fuse_memory(z, vvs, pp_mask, cond_emb)
+        return mem, mem_valid, kl
+
+    def init_cache(self, batch: int):
+        return self.decoder.init_cache(batch, self.cfg.max_len)
+
+    def decode_one(self, tok, t, mem, mem_valid, cache_k, cache_v):
+        """Embed token ids [B] at position t, run one decoder step, return
+        (logits [B,V], new caches)."""
+        x = self.word_embed(tok)[:, None, :] + self.pos[t][None, None, :]
+        out, cache_k, cache_v = self.decoder.decode_step(
+            x, mem, cache_k, cache_v, t, mem_valid
+        )
+        return self.word_pred(out[:, 0, :]), cache_k, cache_v
+
+
+class ReluMLPWithLN(nn.Module):
+    """Dense → ReLU → LayerNorm → Dense (the reference's ``expand`` head)."""
+
+    dim: int
+
+    @nn.compact
+    def __call__(self, x):
+        x = nn.Dense(self.dim)(x)
+        x = nn.relu(x)
+        x = nn.LayerNorm()(x)
+        return nn.Dense(self.dim)(x)
+
+
+class PReLUMLP(nn.Module):
+    """Dense → PReLU → Dense (mapping_transform heads)."""
+
+    dim: int
+
+    @nn.compact
+    def __call__(self, x):
+        x = nn.Dense(self.dim)(x)
+        x = nn.PReLU()(x)
+        return nn.Dense(self.dim)(x)
+
+
+def generate(
+    module: GCPG,
+    params,
+    rng: jax.Array,
+    pp_h: jnp.ndarray,
+    pp_e: jnp.ndarray,
+    pp_mask: jnp.ndarray,
+    conditions: jnp.ndarray,
+    random_sample: bool = False,
+    memory: Optional[Tuple[jnp.ndarray, jnp.ndarray]] = None,
+) -> jnp.ndarray:
+    """Batched autoregressive generation under one lax.scan
+    (replaces the reference's Python token loop, gcpg.py:242-290).
+
+    Returns token ids [B, max_len-1] (without <sos>). Positions after the
+    first <eos> in each row are forced to <pad>.
+    """
+    b = pp_h.shape[0]
+    max_len = module.cfg.max_len
+    k_z, k_scan = jax.random.split(rng)
+    if memory is None:
+        mem, mem_valid = module.apply(
+            params, k_z, pp_h, pp_e, pp_mask, conditions,
+            method=GCPG.prior_memory,
+        )
+    else:
+        mem, mem_valid = memory
+    cache_k, cache_v = module.apply(params, b, method=GCPG.init_cache)
+
+    tokens0 = jnp.full((b,), module.sos_value, dtype=jnp.int32)
+    finished0 = jnp.zeros((b,), dtype=bool)
+
+    def step(carry, t):
+        tok, ck, cv, finished, key = carry
+        key, sub = jax.random.split(key)
+        logits, ck, cv = module.apply(
+            params, tok, t - 1, mem, mem_valid, ck, cv,
+            method=GCPG.decode_one,
+        )
+        if random_sample:
+            nxt = jax.random.categorical(sub, logits, axis=-1)
+        else:
+            nxt = jnp.argmax(logits, axis=-1)
+        nxt = jnp.where(finished, module.pad_value, nxt).astype(jnp.int32)
+        finished = finished | (nxt == module.eos_value)
+        return (nxt, ck, cv, finished, key), nxt
+
+    (_, _, _, _, _), toks = jax.lax.scan(
+        step,
+        (tokens0, cache_k, cache_v, finished0, k_scan),
+        jnp.arange(1, max_len),
+    )
+    return toks.T  # [B, max_len-1]

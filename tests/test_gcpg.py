@@ -1,0 +1,159 @@
+"""GCPG model: tokenizer round-trip, forward shapes, KV-cache decode parity,
+tiny overfit."""
+import dataclasses
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+import pytest
+
+from cmdgen_tpu.chem.tokenizer import Tokenizer, gen_vocabs
+from cmdgen_tpu.config import GCPGModelConfig
+from cmdgen_tpu.models import gcpg as gcpg_mod
+from cmdgen_tpu.models.gcpg import GCPG
+
+
+def test_tokenizer_roundtrip():
+    # the reference's pathological smoke-test string (dataset.py:91-95)
+    smiles = "CCNC(=O)NInc1%225cpppcc2nc@@nc(N@c3ccc(O[C@@H+5]c4cccc(F)c4)c(Cl)c3)c2c1"
+    tok = Tokenizer(gen_vocabs([smiles]))
+    ids = tok.parse(smiles)
+    assert ids[0] == tok.SOS and ids[-1] == tok.EOS
+    text = tok.get_text([ids[1:]])[0]
+    assert text == smiles
+
+
+def test_tokenizer_unknown_to_mask():
+    tok = Tokenizer(gen_vocabs(["CCO"]))
+    ids = tok.parse("CCN")  # N unseen
+    assert tok.MASK in ids
+
+
+def test_tokenizer_atom_indices():
+    tok = Tokenizer(gen_vocabs(["CC(=O)Cl"]))
+    ids, atom_idx = tok.parse("CC(=O)Cl", return_atom_idx=True)
+    # atoms: C C O Cl -> positions within [sos, C, C, (, =, O, ), Cl, eos]
+    assert [ids[i] for i in atom_idx] == [
+        tok.s2i["C"], tok.s2i["C"], tok.s2i["O"], tok.s2i["Cl"]
+    ]
+
+
+CFG = GCPGModelConfig(
+    max_len=24, hidden_dim=32, n_layers=2, ff_dim=64, n_head=4,
+    pp_encoder_n_layer=2, dropout=0.0,
+)
+
+
+@pytest.fixture(scope="module")
+def model_setup():
+    rng = np.random.RandomState(0)
+    vocab = 40
+    model = GCPG(CFG, vocab_size=vocab)
+    b, s = 4, 16
+    inputs = jnp.asarray(rng.randint(4, vocab, (b, s)))
+    input_valid = jnp.ones((b, s))
+    pp_h = jnp.asarray(rng.rand(b, 8, 8), dtype=jnp.float32)
+    pp_e = jnp.asarray(rng.rand(b, 8, 8, 1), dtype=jnp.float32)
+    pp_mask = jnp.asarray(
+        (np.arange(8)[None] < rng.randint(3, 8, (b, 1))).astype(np.float32)
+    )
+    targets = jnp.asarray(rng.randint(4, vocab, (b, s)))
+    conds = jnp.asarray(rng.rand(b, 7), dtype=jnp.float32)
+    params = model.init(
+        jax.random.PRNGKey(0), jax.random.PRNGKey(1), inputs, input_valid,
+        pp_h, pp_e, pp_mask, targets, conds,
+    )
+    return model, params, (inputs, input_valid, pp_h, pp_e, pp_mask, targets, conds)
+
+
+def test_forward_shapes(model_setup):
+    model, params, (inputs, iv, pp_h, pp_e, pp_mask, targets, conds) = model_setup
+    logits, mapping, lm, kl = model.apply(
+        params, jax.random.PRNGKey(2), inputs, iv, pp_h, pp_e, pp_mask,
+        targets, conds,
+    )
+    assert logits.shape == (4, 16, 40)
+    assert mapping.shape == (4, 16, 8)
+    assert float(lm) > 0 and float(kl) >= 0
+    assert np.isfinite(float(lm)) and np.isfinite(float(kl))
+
+
+def test_kv_cache_decode_matches_full_decode(model_setup):
+    """Incremental decode must produce the same logits as the full
+    teacher-forced pass over the same prefix (SURVEY §4b)."""
+    model, params, (inputs, iv, pp_h, pp_e, pp_mask, targets, conds) = model_setup
+    b = 4
+    mem, mem_valid = model.apply(
+        params, jax.random.PRNGKey(3), pp_h, pp_e, pp_mask, conds,
+        method=GCPG.prior_memory,
+    )
+    # full pass over a fixed token prefix
+    prefix = targets[:, :6]
+    s = prefix.shape[1]
+
+    def full_logits(params, prefix):
+        def f(mdl):
+            temb = mdl.word_embed(prefix) + mdl.pos[None, :s, :]
+            out = mdl.decoder(temb, mem, mem_valid)
+            return mdl.word_pred(out)
+
+        return model.apply(params, method=f)
+
+    logits_full = full_logits(params, prefix)
+
+    # incremental
+    cache_k, cache_v = model.apply(params, b, method=GCPG.init_cache)
+    logits_inc = []
+    for t in range(s):
+        lg, cache_k, cache_v = model.apply(
+            params, prefix[:, t], t, mem, mem_valid, cache_k, cache_v,
+            method=GCPG.decode_one,
+        )
+        logits_inc.append(lg)
+    logits_inc = jnp.stack(logits_inc, axis=1)
+    np.testing.assert_allclose(
+        np.asarray(logits_full), np.asarray(logits_inc), atol=2e-4
+    )
+
+
+def test_generate_shapes_and_eos_padding(model_setup):
+    model, params, (inputs, iv, pp_h, pp_e, pp_mask, targets, conds) = model_setup
+    toks = gcpg_mod.generate(
+        model, params, jax.random.PRNGKey(4), pp_h, pp_e, pp_mask, conds,
+        random_sample=True,
+    )
+    assert toks.shape == (4, CFG.max_len - 1)
+    t = np.asarray(toks)
+    # after the first <eos> everything is <pad>
+    for row in t:
+        eos_pos = np.where(row == model.eos_value)[0]
+        if len(eos_pos):
+            assert (row[eos_pos[0] + 1 :] == model.pad_value).all()
+
+
+def test_overfit_lm_loss(model_setup):
+    model, params, (inputs, iv, pp_h, pp_e, pp_mask, targets, conds) = model_setup
+    opt = optax.adam(3e-3)
+    opt_state = opt.init(params)
+
+    @jax.jit
+    def step(params, opt_state, key):
+        def loss_fn(p):
+            _, _, lm, kl = model.apply(
+                p, key, inputs, iv, pp_h, pp_e, pp_mask, targets, conds
+            )
+            return lm + 1e-3 * kl
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        upd, opt_state = opt.update(grads, opt_state, params)
+        return optax.apply_updates(params, upd), opt_state, loss
+
+    key = jax.random.PRNGKey(5)
+    losses = []
+    p = params
+    for _ in range(25):
+        p, opt_state, loss = step(p, opt_state, key)
+        losses.append(float(loss))
+    assert losses[-1] < losses[0] * 0.8, losses[:3] + losses[-3:]
