@@ -1,0 +1,425 @@
+"""Molecular descriptors: MW, logP, TPSA, H-bond counts, QED, SA, Lipinski.
+
+Stand-ins for the RDKit descriptor calls used by the reference's quality
+metrics (DiffPhar/analysis/metrics.py:157-248) and GCPG's property
+conditions [MW, logP, QED, SAS, HBA, HBD, RotBonds]
+(GCPG/train_chembl33_baseline.py:151-157). Implementations:
+
+- MW: exact formula weight (chem/mol.py atomic weights).
+- logP: simplified Wildman–Crippen atomic contributions (coarse atom
+  classes, not the full 68-type table — a documented approximation).
+- TPSA: Ertl 2000 N/O fragment contributions (common environments).
+- HBA/HBD: Lipinski definitions (N+O count / NH+OH count).
+- QED: Bickerton 2012 with the published ADS parameter sets over
+  (MW, ALOGP, HBA, HBD, PSA, ROTB, AROM, ALERTS); structural alerts are
+  approximated by a small built-in alert list.
+- SA score: Ertl–Schuffenhauer complexity penalties (ring/stereo/size/...)
+  with a neutral fragment term (the reference ships fpscores.pkl.gz,
+  DiffPhar/analysis/SA_Score/sascorer.py; without that database the
+  fragment contribution is approximated — documented deviation).
+- Morgan-style hashed circular fingerprints + Tanimoto for diversity.
+"""
+from __future__ import annotations
+
+import math
+from typing import Dict, List, Optional, Set, Tuple
+
+from cmdgen_tpu.chem.mol import Mol, mol_from_smiles
+
+
+def _as_mol(m) -> Optional[Mol]:
+    if isinstance(m, str):
+        return mol_from_smiles(m)
+    return m
+
+
+# ------------------------------------------------------------------- basic
+
+def mol_weight(m) -> float:
+    mol = _as_mol(m)
+    return mol.molecular_weight() if mol else float("nan")
+
+
+def hba(m) -> int:
+    """Lipinski acceptor count: N + O atoms."""
+    mol = _as_mol(m)
+    return sum(1 for a in mol.atoms if a.symbol in ("N", "O"))
+
+
+def hbd(m) -> int:
+    """Lipinski donor count: N-H + O-H."""
+    mol = _as_mol(m)
+    return sum(
+        1
+        for i, a in enumerate(mol.atoms)
+        if a.symbol in ("N", "O") and mol.total_h(i) > 0
+    )
+
+
+def rotatable_bonds(m) -> int:
+    """Single, non-ring bonds between two non-terminal heavy atoms,
+    excluding amide C-N (the RDKit strict definition, approximately)."""
+    mol = _as_mol(m)
+    ring_flags = mol.ring_bond_flags()
+    count = 0
+    for bi, b in enumerate(mol.bonds):
+        if b.order != 1 or b.aromatic or ring_flags[bi]:
+            continue
+        if mol.degree(b.a1) < 2 or mol.degree(b.a2) < 2:
+            continue
+        # amide exclusion
+        def is_amide(c, n):
+            return (
+                mol.atoms[c].symbol == "C"
+                and mol.atoms[n].symbol == "N"
+                and any(
+                    mol.bonds[x].order == 2 and mol.atoms[nb].symbol == "O"
+                    for nb, x in mol.neighbors(c)
+                )
+            )
+
+        if is_amide(b.a1, b.a2) or is_amide(b.a2, b.a1):
+            continue
+        count += 1
+    return count
+
+
+def aromatic_ring_count(m) -> int:
+    mol = _as_mol(m)
+    return len(mol.aromatic_rings())
+
+
+def ring_count(m) -> int:
+    mol = _as_mol(m)
+    return len(mol.rings())
+
+
+# -------------------------------------------------------------------- logP
+
+# coarse Wildman-Crippen-style contributions per (symbol, aromatic, context)
+def crippen_logp(m) -> float:
+    mol = _as_mol(m)
+    if mol is None:
+        return float("nan")
+    total = 0.0
+    for i, a in enumerate(mol.atoms):
+        s = a.symbol
+        nh = mol.total_h(i)
+        het = sum(
+            1 for nb in mol.heavy_neighbors(i)
+            if mol.atoms[nb].symbol not in ("C", "H")
+        )
+        if s == "C":
+            if a.aromatic:
+                total += 0.29 if het == 0 else 0.14
+            else:
+                has_pi = any(mol.bonds[bi].order > 1 for _, bi in mol.neighbors(i))
+                if het > 0:
+                    total += -0.03 if not has_pi else -0.10
+                else:
+                    total += 0.14 if not has_pi else 0.08
+            total += 0.123 * nh  # hydrogens on carbon
+        elif s == "N":
+            if a.charge > 0:
+                total += -1.95
+            elif a.aromatic:
+                total += -0.49
+            else:
+                total += -0.60 - 0.20 * nh
+        elif s == "O":
+            if a.aromatic:
+                total += 0.11
+            else:
+                dbl = any(mol.bonds[bi].order == 2 for _, bi in mol.neighbors(i))
+                total += -0.12 if dbl else (-0.40 if nh > 0 else -0.25)
+        elif s == "S":
+            total += 0.65
+        elif s == "P":
+            total += 0.86
+        elif s == "F":
+            total += 0.42
+        elif s == "Cl":
+            total += 0.71
+        elif s == "Br":
+            total += 0.89
+        elif s == "I":
+            total += 1.05
+        else:
+            total += 0.0
+    return total
+
+
+# -------------------------------------------------------------------- TPSA
+
+def tpsa(m) -> float:
+    """Ertl topological PSA, common N/O environments."""
+    mol = _as_mol(m)
+    if mol is None:
+        return float("nan")
+    total = 0.0
+    for i, a in enumerate(mol.atoms):
+        nh = mol.total_h(i)
+        deg = mol.degree(i)
+        orders = sorted(
+            mol.bonds[bi].order for _, bi in mol.neighbors(i)
+        )
+        arom = a.aromatic
+        if a.symbol == "N":
+            if a.charge == 0:
+                if arom:
+                    if nh == 0 and deg == 2:
+                        total += 12.89
+                    elif nh == 1:
+                        total += 15.79
+                    else:
+                        total += 4.41  # fused/substituted aromatic N
+                else:
+                    if nh == 0:
+                        if 3 in orders:
+                            total += 23.79  # nitrile
+                        elif 2 in orders:
+                            total += 12.36
+                        else:
+                            total += 3.24
+                    elif nh == 1:
+                        total += 12.03 if 2 not in orders else 21.94
+                    else:
+                        total += 26.02
+            elif a.charge > 0:
+                total += {0: 0.0, 1: 4.44, 2: 16.61, 3: 27.64, 4: 27.64}.get(nh, 27.64)
+        elif a.symbol == "O":
+            if a.charge < 0:
+                total += 23.06
+            elif arom:
+                total += 13.14
+            elif 2 in orders:
+                total += 17.07
+            elif nh > 0:
+                total += 20.23
+            else:
+                total += 9.23
+        elif a.symbol == "S":
+            # commonly included S contributions
+            if nh > 0:
+                total += 38.80
+            elif 2 in orders:
+                total += 32.09
+            else:
+                total += 25.30 if deg <= 2 else 0.0
+    return total
+
+
+# --------------------------------------------------------------------- QED
+
+# Bickerton et al. 2012 ADS parameters (a, b, c, d, e, f, dmax)
+_QED_ADS = {
+    "MW": (2.817, 392.575, 290.749, 2.420, 49.223, 65.371, 104.981),
+    "ALOGP": (3.173, 137.862, 2.535, 4.581, 0.823, 0.576, 131.319),
+    "HBA": (2.949, 160.461, 3.615, 4.436, 0.290, 1.301, 148.776),
+    "HBD": (1.619, 1010.051, 0.985, 0.000, 0.714, 0.921, 258.163),
+    "PSA": (1.877, 125.223, 62.908, 87.834, 12.020, 28.513, 104.569),
+    "ROTB": (0.010, 272.412, 2.558, 1.566, 0.756, 1.272, 239.444),
+    "AROM": (3.218, 957.737, 2.275, 0.000, 1.317, 0.251, 199.664),
+    "ALERTS": (0.010, 1199.094, -0.090, 0.000, 0.186, 0.875, 154.270),
+}
+_QED_WEIGHTS = {
+    "MW": 0.66, "ALOGP": 0.46, "HBA": 0.05, "HBD": 0.61,
+    "PSA": 0.06, "ROTB": 0.65, "AROM": 0.48, "ALERTS": 0.95,
+}
+
+
+def _ads(x: float, p) -> float:
+    a, b, c, d, e, f, dmax = p
+    t1 = 1 + math.exp(-(x - c + d / 2) / max(e, 1e-9))
+    t2 = 1 + math.exp(-(x - c - d / 2) / max(f, 1e-9))
+    y = a + b / t1 * (1 - 1 / t2)
+    return max(y / dmax, 1e-9)
+
+
+def _alert_count(mol: Mol) -> int:
+    """Tiny built-in structural-alert list (nitro, acyl halide, aldehyde,
+    azo, long aliphatic chain) — a coarse stand-in for the Brenk set."""
+    alerts = 0
+    for i, a in enumerate(mol.atoms):
+        if a.symbol == "N" and a.charge > 0:
+            o_dbl = sum(
+                1 for nb, bi in mol.neighbors(i)
+                if mol.atoms[nb].symbol == "O" and mol.bonds[bi].order == 2
+            )
+            if o_dbl >= 1:
+                alerts += 1  # nitro-like
+        if a.symbol == "C":
+            has_dbl_o = any(
+                mol.bonds[bi].order == 2 and mol.atoms[nb].symbol == "O"
+                for nb, bi in mol.neighbors(i)
+            )
+            if has_dbl_o:
+                if any(mol.atoms[nb].symbol in ("Cl", "Br", "I") for nb in mol.heavy_neighbors(i)):
+                    alerts += 1  # acyl halide
+                if mol.total_h(i) >= 1:
+                    alerts += 1  # aldehyde
+        if a.symbol == "N":
+            for nb, bi in mol.neighbors(i):
+                if mol.atoms[nb].symbol == "N" and mol.bonds[bi].order == 2:
+                    alerts += 1  # azo (counted twice, halved below)
+    return alerts
+
+
+def qed(m) -> float:
+    mol = _as_mol(m)
+    if mol is None:
+        return float("nan")
+    props = {
+        "MW": mol.molecular_weight(),
+        "ALOGP": crippen_logp(mol),
+        "HBA": hba(mol),
+        "HBD": hbd(mol),
+        "PSA": tpsa(mol),
+        "ROTB": rotatable_bonds(mol),
+        "AROM": aromatic_ring_count(mol),
+        "ALERTS": _alert_count(mol) / 2,
+    }
+    num = 0.0
+    den = 0.0
+    for k, v in props.items():
+        w = _QED_WEIGHTS[k]
+        num += w * math.log(_ads(v, _QED_ADS[k]))
+        den += w
+    return math.exp(num / den)
+
+
+# ---------------------------------------------------------------- SA score
+
+def sa_score(m) -> float:
+    """Ertl-Schuffenhauer synthetic accessibility, 1 (easy) .. 10 (hard).
+
+    Complexity penalties follow sascorer.py; the fragment-frequency term
+    (which needs the shipped fpscores database) is approximated from simple
+    atom-environment commonness. Correlates with, but does not equal,
+    RDKit's SA score.
+    """
+    mol = _as_mol(m)
+    if mol is None:
+        return float("nan")
+    n = mol.n_atoms
+    if n == 0:
+        return 10.0
+
+    # fragment-commonness proxy: uncommon elements & environments cost more
+    frag = 0.0
+    for i, a in enumerate(mol.atoms):
+        if a.symbol == "C" and a.charge == 0:
+            frag += 0.3 if not a.aromatic else 0.35
+        elif a.symbol in ("N", "O") and a.charge == 0:
+            frag += 0.2
+        elif a.symbol in ("F", "Cl", "Br", "S"):
+            frag += 0.0
+        else:
+            frag -= 0.5  # charged / exotic
+    frag = frag / n  # higher = more common = easier
+
+    rings = mol.rings()
+    ring_atoms = set(i for r in rings for i in r)
+    # macrocycles
+    macro = sum(1 for r in rings if len(r) > 8)
+    # bridgeheads / spiro (atoms in >= 2 rings)
+    ring_member_count: Dict[int, int] = {}
+    for r in rings:
+        for i in r:
+            ring_member_count[i] = ring_member_count.get(i, 0) + 1
+    bridge = sum(1 for v in ring_member_count.values() if v >= 2)
+
+    size_penalty = n**1.005 - n
+    ring_penalty = math.log10(bridge + 1) + math.log10(macro + 1) * 2
+    # quaternary carbons
+    quat = sum(
+        1 for i, a in enumerate(mol.atoms)
+        if a.symbol == "C" and mol.degree(i) == 4
+    )
+    quat_penalty = math.log10(quat + 1)
+    charge_penalty = math.log10(
+        sum(1 for a in mol.atoms if a.charge != 0) + 1
+    )
+
+    score = (
+        -frag * 5.0 + 2.5
+        + size_penalty * 0.1
+        + ring_penalty
+        + quat_penalty
+        + charge_penalty
+    )
+    # squash to 1..10
+    return float(min(10.0, max(1.0, score + 1.0)))
+
+
+# ------------------------------------------------------------- Lipinski
+
+def lipinski(m) -> int:
+    """Number of Lipinski rule-of-five criteria satisfied (0-5, including
+    the logP<=5 Ghose variant as in metrics.py:196-208)."""
+    mol = _as_mol(m)
+    if mol is None:
+        return 0
+    rules = [
+        mol.molecular_weight() <= 500,
+        hbd(mol) <= 5,
+        hba(mol) <= 10,
+        crippen_logp(mol) <= 5,
+        rotatable_bonds(mol) <= 10,
+    ]
+    return int(sum(rules))
+
+
+# ------------------------------------------------------ fingerprints
+
+def morgan_fingerprint(m, radius: int = 2, n_bits: int = 2048) -> Set[int]:
+    """Hashed circular fingerprint (ECFP-like) as a set of on-bits."""
+    mol = _as_mol(m)
+    if mol is None:
+        return set()
+    # initial invariants
+    inv = [
+        hash(
+            (a.symbol, a.charge, a.aromatic, mol.degree(i), mol.total_h(i))
+        )
+        for i, a in enumerate(mol.atoms)
+    ]
+    bits = set(h % n_bits for h in inv)
+    cur = inv
+    for _ in range(radius):
+        nxt = []
+        for i in range(mol.n_atoms):
+            env = sorted(
+                (mol.bonds[bi].order, cur[nb])
+                for nb, bi in mol.neighbors(i)
+            )
+            h = hash((cur[i], tuple(env)))
+            nxt.append(h)
+            bits.add(h % n_bits)
+        cur = nxt
+    return bits
+
+
+def tanimoto(fp1: Set[int], fp2: Set[int]) -> float:
+    if not fp1 and not fp2:
+        return 1.0
+    inter = len(fp1 & fp2)
+    union = len(fp1) + len(fp2) - inter
+    return inter / union if union else 0.0
+
+
+def all_properties(smiles: str) -> Optional[Dict[str, float]]:
+    """The 7-scalar GCPG condition vector + extras for one molecule."""
+    mol = mol_from_smiles(smiles)
+    if mol is None:
+        return None
+    return {
+        "MW": mol.molecular_weight(),
+        "logP": crippen_logp(mol),
+        "QED": qed(mol),
+        "SAS": sa_score(mol),
+        "HBA": float(hba(mol)),
+        "HBD": float(hbd(mol)),
+        "RotaNumBonds": float(rotatable_bonds(mol)),
+        "TPSA": tpsa(mol),
+    }
