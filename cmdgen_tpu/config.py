@@ -150,7 +150,10 @@ def _to_dict(obj) -> Any:
         return {f.name: _to_dict(getattr(obj, f.name)) for f in dataclasses.fields(obj)}
     if isinstance(obj, (list, tuple)):
         return [_to_dict(v) for v in obj]
-    return obj
+    if obj is None or isinstance(obj, (bool, int, float, str)):
+        return obj
+    # dtypes and other non-JSON leaves serialize by name
+    return str(getattr(obj, "__name__", obj))
 
 
 def to_dict(cfg) -> Dict[str, Any]:

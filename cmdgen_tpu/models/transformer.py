@@ -60,6 +60,7 @@ class MHA(nn.Module):
         self.k_proj = nn.Dense(self.dim, name="k")
         self.v_proj = nn.Dense(self.dim, name="v")
         self.out_proj = nn.Dense(self.dim, name="out")
+        self.attn_drop = nn.Dropout(rate=self.dropout)
 
     def _heads(self, x):
         b, s, _ = x.shape
@@ -74,7 +75,7 @@ class MHA(nn.Module):
             logits = logits + bias
         w = jax.nn.softmax(logits, axis=-1)
         if self.dropout > 0.0 and not deterministic:
-            w = nn.Dropout(rate=self.dropout, deterministic=False)(w)
+            w = self.attn_drop(w, deterministic=False)
         out = jnp.einsum("bhqk,bhkd->bhqd", w, v)
         b, _, s, _ = out.shape
         return self.out_proj(out.transpose(0, 2, 1, 3).reshape(b, s, self.dim))

@@ -20,11 +20,11 @@ def make_mesh(
 ) -> Mesh:
     """Build a (dp, tp) mesh. dp defaults to n_devices // tp."""
     devices = list(devices if devices is not None else jax.devices())
-    n = len(devices)
     if dp is None:
-        dp = n // tp
-    if dp * tp != n:
-        raise ValueError(f"dp*tp={dp*tp} != n_devices={n}")
+        dp = len(devices) // tp
+    if dp * tp > len(devices):
+        raise ValueError(f"dp*tp={dp*tp} > n_devices={len(devices)}")
+    devices = devices[: dp * tp]
     arr = np.asarray(devices).reshape(dp, tp)
     return Mesh(arr, axis_names=("dp", "tp"))
 

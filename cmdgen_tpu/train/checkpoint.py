@@ -1,0 +1,70 @@
+"""Checkpointing with monitor-metric top-k + last semantics.
+
+Equivalent of the reference's persistence: PL ModelCheckpoint
+(monitor='loss/val', save_top_k=1, save_last=True; DiffPhar/train.py:101-109)
+and GCPG's manual torch.save of model/optimizer/scheduler state
+(train_chembl33_baseline.py:601-606). Uses orbax for the pytree payloads and
+a JSON sidecar for config + metric bookkeeping.
+"""
+from __future__ import annotations
+
+import json
+import shutil
+from pathlib import Path
+from typing import Any, Dict, Optional
+
+import numpy as np
+
+
+def _checkpointer():
+    import orbax.checkpoint as ocp
+
+    return ocp.PyTreeCheckpointer()
+
+
+def save_checkpoint(
+    ckpt_dir,
+    payload: Any,
+    step: int,
+    config: Optional[Dict] = None,
+    monitor_value: Optional[float] = None,
+    keep_best: bool = True,
+):
+    """Save ``last``; also refresh ``best`` when monitor_value improves
+    (lower is better, matching loss/val monitoring)."""
+    ckpt_dir = Path(ckpt_dir)
+    ckpt_dir.mkdir(parents=True, exist_ok=True)
+    cp = _checkpointer()
+
+    def _write(name):
+        path = ckpt_dir / name
+        if path.exists():
+            shutil.rmtree(path)
+        cp.save(path.absolute(), payload)
+        meta = {"step": int(step)}
+        if monitor_value is not None:
+            meta["monitor"] = float(monitor_value)
+        if config is not None:
+            meta["config"] = config
+        (ckpt_dir / f"{name}.json").write_text(json.dumps(meta))
+
+    _write("last")
+    if keep_best and monitor_value is not None:
+        best_meta = ckpt_dir / "best.json"
+        prev = (
+            json.loads(best_meta.read_text()).get("monitor", np.inf)
+            if best_meta.exists()
+            else np.inf
+        )
+        if monitor_value < prev:
+            _write("best")
+
+
+def load_checkpoint(ckpt_dir, name: str = "last", target: Any = None):
+    """Returns (payload, meta dict)."""
+    ckpt_dir = Path(ckpt_dir)
+    cp = _checkpointer()
+    payload = cp.restore((ckpt_dir / name).absolute(), item=target)
+    meta_path = ckpt_dir / f"{name}.json"
+    meta = json.loads(meta_path.read_text()) if meta_path.exists() else {}
+    return payload, meta

@@ -1,0 +1,178 @@
+"""Data pipeline + training loops on tiny synthetic data."""
+import dataclasses
+import json
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from cmdgen_tpu import config as cfgmod
+from cmdgen_tpu.chem.sdf import parse_sdf_block, read_sdf, write_sdf
+from cmdgen_tpu.chem.tokenizer import Tokenizer, gen_vocabs
+from cmdgen_tpu.data import crossdocked, dataset as ds
+from cmdgen_tpu.models.egnn import EGNNConfig
+from cmdgen_tpu.models.gcpg import GCPG
+from cmdgen_tpu.train import gcpg_train
+from cmdgen_tpu.train.diffphar_train import train_diffphar
+
+ETHANOL_SDF = """ethanol
+  test
+
+  3  2  0  0  0  0  0  0  0  0999 V2000
+    0.0000    0.0000    0.0000 C   0  0  0  0  0  0  0  0  0  0  0  0
+    1.5000    0.0000    0.0000 C   0  0  0  0  0  0  0  0  0  0  0  0
+    2.1000    1.3000    0.0000 O   0  0  0  0  0  0  0  0  0  0  0  0
+  1  2  1  0  0  0  0
+  2  3  1  0  0  0  0
+M  END
+"""
+
+
+def _pdb_line(serial, name, res, chain, resid, x, y, z, element):
+    return (
+        f"ATOM  {serial:>5} {name:<4} {res:<3} {chain}{resid:>4}    "
+        f"{x:8.3f}{y:8.3f}{z:8.3f}{1.0:6.2f}{0.0:6.2f}          {element:>2}"
+    )
+
+
+@pytest.fixture(scope="module")
+def tiny_crossdocked(tmp_path_factory):
+    tmp = tmp_path_factory.mktemp("cd")
+    rng = np.random.RandomState(0)
+    pairs = []
+    for n in range(6):
+        # pocket: 4 residues near the ligand
+        lines = []
+        serial = 1
+        for ri in range(1, 5):
+            base = rng.randn(3) * 2.0
+            for name, el in [("N", "N"), ("CA", "C"), ("C", "C"), ("O", "O")]:
+                x, y, z = base + rng.randn(3) * 0.4
+                lines.append(_pdb_line(serial, name, "ALA", "A", ri, x, y, z, el))
+                serial += 1
+        pdb = tmp / f"pocket_{n}.pdb"
+        pdb.write_text("\n".join(lines))
+        sdf = tmp / f"lig_{n}.sdf"
+        sdf.write_text(ETHANOL_SDF)
+        split = "test" if n >= 5 else "train"
+        pairs.append((split, str(pdb), str(sdf)))
+    out = tmp / "processed"
+    stats = crossdocked.process_dataset(pairs, out, val_fraction_from_train=2)
+    return out, stats
+
+
+def test_sdf_roundtrip(tmp_path):
+    mol, coords = parse_sdf_block(ETHANOL_SDF)
+    assert mol.n_atoms == 3 and coords.shape == (3, 3)
+    assert [a.symbol for a in mol.atoms] == ["C", "C", "O"]
+    p = tmp_path / "out.sdf"
+    write_sdf(p, [(["C", "C", "O"], coords, "ethanol")],
+              bonds_list=[[(0, 1, 1), (1, 2, 1)]])
+    back = read_sdf(p)
+    assert len(back) == 1
+    np.testing.assert_allclose(back[0][1], coords, atol=1e-3)
+
+
+def test_preprocessing_produces_npz(tiny_crossdocked):
+    out, stats = tiny_crossdocked
+    assert (out / "train.npz").exists()
+    assert (out / "val.npz").exists()
+    assert (out / "test.npz").exists()
+    assert (out / "size_distribution.npy").exists()
+    assert stats["n_failed"] == 0
+    d = ds.DiffPharDataset(out / "train.npz")
+    assert len(d) == 5
+    b = d.padded_batch([0, 1])
+    assert b["phar_x"].shape[0] == 2
+    assert b["phar_h"].shape[-1] == 8
+    assert b["pocket_h"].shape[-1] == 11
+    # centered: joint mean ~ 0
+    joint_sum = (
+        (b["phar_x"] * b["phar_mask"][..., None]).sum(1)
+        + (b["pocket_x"] * b["pocket_mask"][..., None]).sum(1)
+    )
+    assert np.abs(joint_sum).max() < 1e-3 * max(
+        1, np.abs(b["pocket_x"]).max()
+    ) + 1e-2
+
+
+def test_diffphar_training_loop(tiny_crossdocked, tmp_path):
+    out, _ = tiny_crossdocked
+    cfg = cfgmod.full_atom_config()
+    cfg = dataclasses.replace(
+        cfg,
+        dynamics=dataclasses.replace(
+            cfg.dynamics,
+            egnn=EGNNConfig(hidden_nf=16, n_layers=1, inv_sublayers=1),
+        ),
+        ddpm=dataclasses.replace(cfg.ddpm, timesteps=5),
+        train=dataclasses.replace(
+            cfg.train, batch_size=4, n_epochs=2, dp=1,
+        ),
+    )
+    logs = []
+    state, model = train_diffphar(
+        cfg, out, tmp_path / "ckpt", max_steps=2,
+        log_fn=lambda s, m: logs.append((s, m)),
+    )
+    assert (tmp_path / "ckpt" / "last").exists()
+    assert (tmp_path / "ckpt" / "best").exists()
+    # reload round trip
+    from cmdgen_tpu.train.checkpoint import load_checkpoint
+
+    payload, meta = load_checkpoint(tmp_path / "ckpt", "last")
+    assert "params" in payload and meta["step"] == 2
+    assert "config" in meta
+
+
+def test_beta_annealer_matches_reference_phases():
+    betas = list(__import__("itertools").islice(
+        gcpg_train.gen_beta(3e-4, 1e-2, 6, 18, 24), 30
+    ))
+    assert all(b == pytest.approx(3e-4) for b in betas[:6])
+    assert betas[24] == pytest.approx(1e-2, rel=1e-6)
+    assert betas[29] == pytest.approx(1e-2, rel=1e-6)
+    assert all(b2 >= b1 - 1e-12 for b1, b2 in zip(betas, betas[1:]))
+
+
+def test_gcpg_dataset_and_train_step():
+    smiles = ["CCO", "CC(=O)O", "c1ccccc1", "CC(C)CO", "CCN", "CCOC"] * 2
+    props = {"MW": [46.0] * 12, "logP": [0.2] * 12}
+    tok = Tokenizer(gen_vocabs(smiles))
+    data = ds.GCPGSmilesDataset(
+        smiles, props, tok, max_len=16,
+        use_random_input_smiles=True, corrupt=True, seed=0,
+    )
+    batch = data.padded_batch(list(range(6)))
+    assert batch is not None
+    np_batch = {k: jnp.asarray(v) for k, v in batch.items()}
+    b = np_batch["inputs"].shape[0]
+
+    model = GCPG(
+        cfgmod.GCPGModelConfig(
+            max_len=16, hidden_dim=32, n_layers=1, ff_dim=32, n_head=4,
+            pp_encoder_n_layer=1, dropout=0.1,
+        ),
+        vocab_size=len(tok),
+    )
+    params = model.init(
+        jax.random.PRNGKey(0), jax.random.PRNGKey(1),
+        np_batch["inputs"], np_batch["input_valid"],
+        np_batch["pp_h"], np_batch["pp_e"], np_batch["pp_mask"],
+        np_batch["targets"], np_batch["props"][:, :7],
+    )
+    tcfg = cfgmod.GCPGTrainConfig()
+    optimizer = gcpg_train.gcpg_optimizer(tcfg, steps_per_epoch=10)
+    step = jax.jit(
+        gcpg_train.make_gcpg_train_step(model, optimizer, tcfg.condition_gate)
+    )
+    opt_state = optimizer.init(params)
+    losses = []
+    for i in range(8):
+        params, opt_state, metrics = step(
+            params, opt_state, jax.random.PRNGKey(2), np_batch, 3e-4
+        )
+        losses.append(float(metrics["loss"]))
+        assert np.isfinite(losses[-1])
+    assert losses[-1] < losses[0]
