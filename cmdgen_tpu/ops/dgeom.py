@@ -1,0 +1,191 @@
+"""Distance-geometry conformer embedding on TPU.
+
+Replaces RDKit's EmbedLib.EmbedPharmacophore machinery used by PharAlign
+(PharAlign/align_test_wrn.py:118-219): build a distance-bounds matrix from
+the molecular graph (bond lengths, 1-3 angles, triangle smoothing), sample
+random distance matrices, embed them to 3-D by classical MDS, and refine
+coordinates by gradient descent on bound violations — all batched over
+conformers with vmap, so hundreds of conformers embed in one jit call.
+Optional pharmacophore constraints pull feature-centroid pairs toward the
+target pairwise distances (the rotation-invariant form of RDKit's
+pharmacophore embedding constraints).
+"""
+from __future__ import annotations
+
+from typing import List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from cmdgen_tpu.chem.mol import Mol
+
+# covalent radii (Å) for bond-length estimates
+COVALENT_RADII = {
+    "H": 0.31, "B": 0.84, "C": 0.76, "N": 0.71, "O": 0.66, "F": 0.57,
+    "P": 1.07, "S": 1.05, "Cl": 1.02, "Br": 1.20, "I": 1.39, "Se": 1.20,
+}
+VDW_RADII = {
+    "H": 1.2, "C": 1.7, "N": 1.55, "O": 1.52, "F": 1.47, "P": 1.8,
+    "S": 1.8, "Cl": 1.75, "Br": 1.85, "I": 1.98, "B": 1.92, "Se": 1.9,
+}
+
+
+def bond_length(mol: Mol, bi: int) -> float:
+    b = mol.bonds[bi]
+    r = COVALENT_RADII.get(mol.atoms[b.a1].symbol, 0.77) + COVALENT_RADII.get(
+        mol.atoms[b.a2].symbol, 0.77
+    )
+    if b.aromatic:
+        return r * 0.92
+    if b.order == 2:
+        return r * 0.87
+    if b.order == 3:
+        return r * 0.81
+    return r
+
+
+def _ideal_angle(mol: Mol, center: int) -> float:
+    """Idealized bond angle at an atom (rad)."""
+    a = mol.atoms[center]
+    orders = [mol.bonds[bi].order for _, bi in mol.neighbors(center)]
+    if a.aromatic or 2 in orders:
+        return np.deg2rad(120.0)
+    if 3 in orders:
+        return np.deg2rad(180.0)
+    return np.deg2rad(109.5)
+
+
+def bounds_matrix(mol: Mol) -> Tuple[np.ndarray, np.ndarray]:
+    """(lower, upper) distance bounds over heavy atoms."""
+    n = mol.n_atoms
+    big = 1000.0
+    lower = np.zeros((n, n))
+    upper = np.full((n, n), big)
+    np.fill_diagonal(upper, 0.0)
+    for i in range(n):
+        vi = VDW_RADII.get(mol.atoms[i].symbol, 1.7)
+        for j in range(n):
+            if i != j:
+                vj = VDW_RADII.get(mol.atoms[j].symbol, 1.7)
+                lower[i, j] = 0.8 * (vi + vj)
+    # 1-2
+    for bi, b in enumerate(mol.bonds):
+        d = bond_length(mol, bi)
+        lower[b.a1, b.a2] = lower[b.a2, b.a1] = d - 0.01
+        upper[b.a1, b.a2] = upper[b.a2, b.a1] = d + 0.01
+    # 1-3 via law of cosines at the common atom
+    for c in range(n):
+        nbrs = [(nb, bi) for nb, bi in mol.neighbors(c)]
+        theta = _ideal_angle(mol, c)
+        for x in range(len(nbrs)):
+            for y in range(x + 1, len(nbrs)):
+                i, bi1 = nbrs[x]
+                j, bi2 = nbrs[y]
+                d1, d2 = bond_length(mol, bi1), bond_length(mol, bi2)
+                d13 = np.sqrt(
+                    d1 * d1 + d2 * d2 - 2 * d1 * d2 * np.cos(theta)
+                )
+                lower[i, j] = lower[j, i] = max(lower[i, j], d13 - 0.05)
+                upper[i, j] = upper[j, i] = min(upper[i, j], d13 + 0.05)
+    # triangle smoothing of upper bounds (Floyd-Warshall)
+    for k in range(n):
+        upper = np.minimum(upper, upper[:, k : k + 1] + upper[k : k + 1, :])
+    lower = np.minimum(lower, upper)  # keep bounds consistent
+    return lower, upper
+
+
+def _classical_mds(d2: jnp.ndarray) -> jnp.ndarray:
+    """Metric-matrix embedding of a squared-distance matrix to 3-D."""
+    n = d2.shape[0]
+    j = jnp.eye(n) - jnp.ones((n, n)) / n
+    b = -0.5 * j @ d2 @ j
+    vals, vecs = jnp.linalg.eigh(b)
+    top = vals[-3:]
+    v = vecs[:, -3:]
+    return v * jnp.sqrt(jnp.maximum(top, 1e-6))[None, :]
+
+
+def embed_conformers(
+    mol: Mol,
+    n_conformers: int,
+    rng: jax.Array,
+    refine_steps: int = 200,
+    lr: float = 0.05,
+    centroid_groups: Optional[Sequence[Sequence[int]]] = None,
+    centroid_targets: Optional[np.ndarray] = None,
+    centroid_weight: float = 1.0,
+) -> jnp.ndarray:
+    """Sample + embed + refine n_conformers. Returns [C, N, 3].
+
+    centroid_groups/targets: optional pharmacophore constraints — pairwise
+    distances between the centroids of the given atom groups are pulled
+    toward targets [G, G].
+    """
+    lower, upper = bounds_matrix(mol)
+    lo = jnp.asarray(lower, dtype=jnp.float32)
+    up = jnp.asarray(jnp.minimum(upper, 100.0), dtype=jnp.float32)
+    n = mol.n_atoms
+
+    groups = None
+    targets = None
+    if centroid_groups is not None and len(centroid_groups) >= 2:
+        g = len(centroid_groups)
+        gm = np.zeros((g, n), dtype=np.float32)
+        for k, atoms in enumerate(centroid_groups):
+            for a in atoms:
+                gm[k, a] = 1.0 / len(atoms)
+        groups = jnp.asarray(gm)
+        targets = jnp.asarray(centroid_targets, dtype=jnp.float32)
+
+    def one(key):
+        k1, k2 = jax.random.split(key)
+        u = jax.random.uniform(k1, (n, n))
+        d = lo + u * (up - lo)
+        d = (d + d.T) / 2.0
+        d = d.at[jnp.diag_indices(n)].set(0.0)
+        x0 = _classical_mds(d * d)
+        x0 = x0 + 0.05 * jax.random.normal(k2, x0.shape)
+
+        def loss(x):
+            diff = x[:, None, :] - x[None, :, :]
+            dist = jnp.sqrt(jnp.sum(diff**2, -1) + 1e-8)
+            over = jnp.maximum(dist - up, 0.0)
+            under = jnp.maximum(lo - dist, 0.0)
+            mask_off = 1.0 - jnp.eye(n)
+            l = jnp.sum((over**2 + under**2) * mask_off)
+            if groups is not None:
+                cents = groups @ x  # [G, 3]
+                cd = jnp.sqrt(
+                    jnp.sum(
+                        (cents[:, None, :] - cents[None, :, :]) ** 2, -1
+                    )
+                    + 1e-8
+                )
+                l = l + centroid_weight * jnp.sum(
+                    (cd - targets) ** 2 * (1.0 - jnp.eye(targets.shape[0]))
+                )
+            return l
+
+        def step(x, _):
+            g = jax.grad(loss)(x)
+            return x - lr * g, None
+
+        x, _ = jax.lax.scan(step, x0, None, length=refine_steps)
+        return x
+
+    keys = jax.random.split(rng, n_conformers)
+    return jax.vmap(one)(keys)
+
+
+def bounds_violation(mol: Mol, coords: np.ndarray) -> float:
+    """Mean absolute bound violation of a conformer (quality check)."""
+    lower, upper = bounds_matrix(mol)
+    d = np.sqrt(
+        ((coords[:, None, :] - coords[None, :, :]) ** 2).sum(-1) + 1e-12
+    )
+    over = np.maximum(d - np.minimum(upper, 100.0), 0)
+    under = np.maximum(lower - d, 0)
+    n = len(coords)
+    off = ~np.eye(n, dtype=bool)
+    return float((over + under)[off].mean())

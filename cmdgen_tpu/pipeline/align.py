@@ -1,0 +1,191 @@
+"""PharAlign: embed generated molecules and align them onto the pharmacophore.
+
+Behavioral equivalent of PharAlign/align_test_wrn.py:23-540 (+
+align_ligandpharm_* variants): for each generated SMILES and each
+tolerance-k subset of the pharmacophore points, match molecule features to
+the points, embed conformers (distance geometry with pharmacophore
+constraints — ops/dgeom.py replaces RDKit EmbedPharmacophore), align the
+matched feature centroids onto the point coordinates with Kabsch (replacing
+rdAlignment.GetAlignmentTransform), and keep the best conformers by RMSD,
+writing posed SDF files.
+"""
+from __future__ import annotations
+
+import itertools
+from pathlib import Path
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from cmdgen_tpu.chem.features import GCPG_MAPPING, get_features
+from cmdgen_tpu.chem.mol import Mol, mol_from_smiles
+from cmdgen_tpu.chem.posp import PHAR2IDX
+from cmdgen_tpu.chem.sdf import write_sdf
+from cmdgen_tpu.ops.dgeom import embed_conformers
+from cmdgen_tpu.ops.kabsch import apply_rigid, kabsch, rmsd
+
+# posp code -> GCPG 1-based family index (shared with match scoring)
+_POSP2GCPG = {
+    "AROM": 1, "HYBL": 2, "POSC": 3, "HACC": 4, "HDON": 5, "LHYBL": 6,
+    "UNKNOWN": 7,
+}
+
+
+def load_pp_points(posp_path) -> Tuple[np.ndarray, List[str]]:
+    """.posp -> (coords [K,3], type codes)."""
+    coords, types = [], []
+    for line in Path(posp_path).read_text().strip().split("\n"):
+        parts = line.strip().split()
+        types.append(parts[0])
+        coords.append([float(v) for v in parts[-3:]])
+    return np.asarray(coords, dtype=np.float32), types
+
+
+def generate_subsets_with_tolerance(k: int, tolerance: int):
+    """Index subsets dropping up to ``tolerance`` points
+    (align_test_wrn.py:340-347), largest subsets first."""
+    out = []
+    for drop in range(0, tolerance + 1):
+        if k - drop < 2:
+            break
+        for keep in itertools.combinations(range(k), k - drop):
+            out.append(list(keep))
+    return out
+
+
+def match_features_to_points(
+    mol: Mol, point_types: Sequence[str]
+) -> Optional[List[Tuple[int, ...]]]:
+    """Greedy assignment of one perceived feature atom-set per point.
+
+    Returns atom groups (one per point) or None if some point has no
+    candidate (the reference's MatchPharmacophoreToMol failure path).
+    """
+    feats = get_features(mol) or []
+    by_idx: Dict[int, List[Tuple[int, ...]]] = {}
+    for fam, atoms in feats:
+        by_idx.setdefault(GCPG_MAPPING.get(fam, 7), []).append(atoms)
+    chosen: List[Tuple[int, ...]] = []
+    used: set = set()
+    for t in point_types:
+        idx = _POSP2GCPG.get(t, 7)
+        cands = by_idx.get(idx, [])
+        pick = None
+        for c in cands:
+            if c not in used:
+                pick = c
+                break
+        if pick is None:
+            if cands:
+                pick = cands[0]  # allow reuse rather than failing outright
+            else:
+                return None
+        used.add(pick)
+        chosen.append(pick)
+    return chosen
+
+
+def align_molecule(
+    smiles: str,
+    pp_coords: np.ndarray,
+    pp_types: Sequence[str],
+    rng: jax.Array,
+    n_conformers: int = 10,
+    num_keep: int = 3,
+    tolerance: int = 0,
+    refine_steps: int = 200,
+):
+    """Embed + align one molecule. Returns list of
+    (rmsd, conformer coords aligned into the pharmacophore frame, kept point
+    indices) sorted by RMSD, or None if the molecule can't be matched."""
+    mol = mol_from_smiles(smiles)
+    if mol is None:
+        return None
+    results = []
+    for keep in generate_subsets_with_tolerance(len(pp_types), tolerance):
+        sub_coords = pp_coords[keep]
+        sub_types = [pp_types[i] for i in keep]
+        groups = match_features_to_points(mol, sub_types)
+        if groups is None:
+            continue
+        targets = np.sqrt(
+            ((sub_coords[:, None, :] - sub_coords[None, :, :]) ** 2).sum(-1)
+        )
+        rng, sub = jax.random.split(rng)
+        confs = embed_conformers(
+            mol, n_conformers, sub,
+            refine_steps=refine_steps,
+            centroid_groups=groups,
+            centroid_targets=targets,
+            centroid_weight=2.0,
+        )  # [C, N, 3]
+        confs = np.asarray(confs)
+        # per conformer: centroids of matched groups -> Kabsch onto points
+        gm = np.zeros((len(groups), mol.n_atoms), dtype=np.float32)
+        for k, atoms in enumerate(groups):
+            for a in atoms:
+                gm[k, a] = 1.0 / len(atoms)
+        cents = np.einsum("gn,cnd->cgd", gm, confs)
+        for c in range(confs.shape[0]):
+            r, t = kabsch(jnp.asarray(cents[c]), jnp.asarray(sub_coords))
+            aligned_cents = np.asarray(
+                apply_rigid(r, t, jnp.asarray(cents[c]))
+            )
+            e = float(
+                np.sqrt(((aligned_cents - sub_coords) ** 2).sum(-1).mean())
+            )
+            aligned_conf = np.asarray(apply_rigid(r, t, jnp.asarray(confs[c])))
+            results.append((e, aligned_conf, list(keep)))
+        if results:
+            break  # reference keeps the largest matchable subset
+    if not results:
+        return None
+    results.sort(key=lambda x: x[0])
+    return results[:num_keep]
+
+
+def align_smiles_list(
+    smiles_list: Sequence[str],
+    posp_path,
+    out_dir,
+    rng: Optional[jax.Array] = None,
+    n_conformers: int = 10,
+    num_keep: int = 3,
+    tolerance: int = 0,
+) -> Dict[str, float]:
+    """Stage-4 CLI body (align.sh -> align_test_wrn.py): aligned SDFs +
+    rmsd_values.npy. Returns {smiles: best rmsd}."""
+    rng = rng if rng is not None else jax.random.PRNGKey(0)
+    out_dir = Path(out_dir)
+    out_dir.mkdir(parents=True, exist_ok=True)
+    pp_coords, pp_types = load_pp_points(posp_path)
+    best: Dict[str, float] = {}
+    rmsds = []
+    for i, smiles in enumerate(smiles_list):
+        rng, sub = jax.random.split(rng)
+        try:
+            res = align_molecule(
+                smiles, pp_coords, pp_types, sub,
+                n_conformers=n_conformers, num_keep=num_keep,
+                tolerance=tolerance,
+            )
+        except Exception:
+            res = None
+        if not res:
+            continue
+        mol = mol_from_smiles(smiles)
+        symbols = [a.symbol for a in mol.atoms]
+        bonds = [(b.a1, b.a2, b.order) for b in mol.bonds]
+        mols = [
+            (symbols, coords, f"{smiles} rmsd={e:.3f}")
+            for e, coords, _ in res
+        ]
+        write_sdf(
+            out_dir / f"mol_{i}.sdf", mols, bonds_list=[bonds] * len(mols)
+        )
+        best[smiles] = res[0][0]
+        rmsds.append(res[0][0])
+    np.save(out_dir / "rmsd_values.npy", np.asarray(rmsds, dtype=np.float32))
+    return best
