@@ -30,11 +30,17 @@ def main():
     from cmdgen_tpu.models.dynamics import EGNNDynamics
     from cmdgen_tpu.models.egnn import EGNNConfig
 
+    import os
+
+    from cmdgen_tpu.models.dynamics import make_pallas_apply
+
     cfg = ca_config()
     egnn = dataclasses.replace(cfg.dynamics.egnn, compute_dtype=jnp.bfloat16)
     dyn_cfg = dataclasses.replace(cfg.dynamics, egnn=egnn)
     dynamics = EGNNDynamics(dyn_cfg)
-    model = ConditionalDDPM(cfg.ddpm, dynamics)
+    use_pallas = os.environ.get("BENCH_PALLAS", "0") == "1"
+    apply_fn = make_pallas_apply(dyn_cfg) if use_pallas else None
+    model = ConditionalDDPM(cfg.ddpm, dynamics, apply_fn=apply_fn)
 
     b, n_p, n_q = 64, 8, 110
     t_steps = 100  # timed slice of the T=500 chain (steps/sec is invariant)

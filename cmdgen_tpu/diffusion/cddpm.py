@@ -63,10 +63,15 @@ class ConditionalDDPM:
     """
 
     def __init__(self, cfg: DDPMConfig, dynamics: EGNNDynamics,
-                 size_prior: Optional[SizePrior] = None):
+                 size_prior: Optional[SizePrior] = None,
+                 apply_fn=None):
         self.cfg = cfg
         self.dynamics = dynamics
         self.size_prior = size_prior
+        # apply_fn overrides the denoiser forward (e.g. the fused Pallas
+        # path from models.dynamics.make_pallas_apply); same signature as
+        # dynamics.apply
+        self._apply = apply_fn if apply_fn is not None else dynamics.apply
         self.gamma = sch.gamma_table(
             cfg.noise_schedule, cfg.timesteps, cfg.noise_precision
         )
@@ -165,7 +170,7 @@ class ConditionalDDPM:
         xh_pocket = jnp.concatenate([xh_pocket_x, xh0_pocket[..., nd:]], axis=-1)
 
         t_norm = (t_int / cfg.timesteps)[:, None]
-        net_out, _ = self.dynamics.apply(
+        net_out, _ = self._apply(
             params, z_t, xh_pocket, t_norm, phar.mask, pocket.mask
         )
 
@@ -201,7 +206,7 @@ class ConditionalDDPM:
             xh_pocket0 = jnp.concatenate(
                 [xh_pocket0_x, xh0_pocket[..., nd:]], axis=-1
             )
-            net_out0, _ = self.dynamics.apply(
+            net_out0, _ = self._apply(
                 params, z_0, xh_pocket0, jnp.zeros((b, 1)), phar.mask, pocket.mask
             )
             loss0_x, loss0_h = self._neg_log_pxh_given_z0(
@@ -297,7 +302,7 @@ class ConditionalDDPM:
         sigma_t = sch.sigma(gamma_t)
 
         t_norm = jnp.full((b, 1), t_int / cfg.timesteps)
-        eps_hat, _ = self.dynamics.apply(
+        eps_hat, _ = self._apply(
             params, z_phar, xh_pocket, t_norm, phar_mask, pocket_mask
         )
         mu = z_phar / _inflate(alpha_ts) - _inflate(
@@ -385,7 +390,7 @@ class ConditionalDDPM:
         gamma_0 = jnp.full((b,), self.gamma[0])
         sigma_x = sch.snr(-0.5 * gamma_0)
         t_zeros = jnp.zeros((b, 1))
-        net_out, _ = self.dynamics.apply(
+        net_out, _ = self._apply(
             params, z_phar, xh_pocket, t_zeros, phar_mask, pocket.mask
         )
         a0, s0 = sch.alpha(gamma_0), sch.sigma(gamma_0)

@@ -93,13 +93,15 @@ class JointDDPM:
     """Unconditional joint diffusion + inpainting sampler."""
 
     def __init__(self, cfg: DDPMConfig, dynamics: EGNNDynamics,
-                 size_prior: Optional[SizePrior] = None):
+                 size_prior: Optional[SizePrior] = None,
+                 apply_fn=None):
         assert dynamics.cfg.update_pocket_coords, (
             "joint mode diffuses pocket coordinates too"
         )
         self.cfg = cfg
         self.dynamics = dynamics
         self.size_prior = size_prior
+        self._apply = apply_fn if apply_fn is not None else dynamics.apply
         self.gamma = sch.gamma_table(
             cfg.noise_schedule, cfg.timesteps, cfg.noise_precision
         )
@@ -176,7 +178,7 @@ class JointDDPM:
         z_t_q = _inflate(alpha_t) * xh_pocket + _inflate(sigma_t) * eps_q
 
         t_norm = (t_int / cfg.timesteps)[:, None]
-        net_p, net_q = self.dynamics.apply(
+        net_p, net_q = self._apply(
             params, z_t_p, z_t_q, t_norm, phar.mask, pocket.mask
         )
 
@@ -291,7 +293,7 @@ class JointDDPM:
         sigma_s, sigma_t = sch.sigma(gamma_s), sch.sigma(gamma_t)
 
         t_norm = jnp.full((b, 1), t_int / cfg.timesteps)
-        eps_p, eps_q = self.dynamics.apply(
+        eps_p, eps_q = self._apply(
             params, z_p, z_q, t_norm, mask_p, mask_q
         )
         coef = _inflate(s2_ts / a_ts / sigma_t)
@@ -358,7 +360,7 @@ class JointDDPM:
         b = z_p.shape[0]
         gamma_0 = jnp.full((b,), self.gamma[0])
         sigma_x = sch.snr(-0.5 * gamma_0)
-        net_p, net_q = self.dynamics.apply(
+        net_p, net_q = self._apply(
             params, z_p, z_q, jnp.zeros((b, 1)), mask_p, mask_q
         )
         a0, s0 = sch.alpha(gamma_0), sch.sigma(gamma_0)

@@ -122,3 +122,83 @@ class EGNNDynamics(nn.Module):
             eps_phar * mask_phar[..., None],
             eps_pocket * mask_pocket[..., None],
         )
+
+
+def _dense(h, p):
+    out = h @ p["kernel"]
+    if "bias" in p:
+        out = out + p["bias"]
+    return out
+
+
+def _type_mlp(h, p):
+    h = jax.nn.silu(_dense(h, p["Dense_0"]))
+    return _dense(h, p["Dense_1"])
+
+
+def make_pallas_apply(cfg: DynamicsConfig, tile: int = 16,
+                      interpret: bool = False, compute_dtype=None):
+    """A drop-in replacement for EGNNDynamics.apply backed by the fused
+    Pallas EGNN kernels (ops/egnn_pallas.py). Same signature/params tree;
+    inference path (no custom VJP — use the flax path for training)."""
+    from cmdgen_tpu.ops.egnn_pallas import egnn_forward_pallas
+
+    assert cfg.egnn.inv_sublayers == 1, "pallas path supports inv_sublayers=1"
+
+    def apply_fn(variables, xh_phar, xh_pocket, t, mask_phar, mask_pocket):
+        p = variables["params"]
+        nd = cfg.n_dims
+        x_phar, h_phar = xh_phar[..., :nd], xh_phar[..., nd:]
+        x_pocket, h_pocket = xh_pocket[..., :nd], xh_pocket[..., nd:]
+        h_phar = _type_mlp(h_phar, p["phar_encoder"])
+        h_pocket = _type_mlp(h_pocket, p["residue_encoder"])
+        x = jnp.concatenate([x_phar, x_pocket], axis=-2)
+        h = jnp.concatenate([h_phar, h_pocket], axis=-2)
+        mask = jnp.concatenate([mask_phar, mask_pocket], axis=-1)
+        if cfg.condition_time:
+            h_time = jnp.broadcast_to(t[..., None, :], (*h.shape[:-1], 1))
+            h = jnp.concatenate([h, h_time.astype(h.dtype)], axis=-1)
+        edge_mask = pair_mask(mask, mask)
+        if cfg.edge_cutoff is not None:
+            d2 = jnp.sum(
+                (x[..., :, None, :] - x[..., None, :, :]) ** 2, axis=-1
+            )
+            edge_mask = edge_mask * (
+                d2 <= cfg.edge_cutoff**2
+            ).astype(edge_mask.dtype)
+        update_coords_mask = None
+        if not cfg.update_pocket_coords:
+            update_coords_mask = jnp.concatenate(
+                [mask_phar, jnp.zeros_like(mask_pocket)], axis=-1
+            )
+        h_final, x_final = egnn_forward_pallas(
+            p["egnn"], h, x, edge_mask, mask, update_coords_mask,
+            n_layers=cfg.egnn.n_layers, out_node_nf=cfg.joint_nf + 1,
+            norm_constant=cfg.egnn.norm_constant,
+            coords_range=cfg.egnn.coords_range,
+            normalization_factor=cfg.egnn.normalization_factor,
+            tanh=cfg.egnn.tanh, tile=tile, interpret=interpret,
+            compute_dtype=(compute_dtype if compute_dtype is not None
+                           else cfg.egnn.compute_dtype),
+        )
+        vel = (x_final - x) * mask[..., None]
+        if cfg.condition_time:
+            h_final = h_final[..., :-1]
+        n_phar = xh_phar.shape[-2]
+        h_out_phar = _type_mlp(h_final[..., :n_phar, :], p["phar_decoder"])
+        h_out_pocket = _type_mlp(h_final[..., n_phar:, :], p["residue_decoder"])
+        vel = jnp.where(jnp.isnan(vel), jnp.zeros_like(vel), vel)
+        if cfg.update_pocket_coords:
+            vel = remove_mean(vel, mask)
+        eps_phar = jnp.concatenate(
+            [vel[..., :n_phar, :], h_out_phar], axis=-1
+        )
+        eps_pocket = jnp.concatenate(
+            [vel[..., n_phar:, :], h_out_pocket], axis=-1
+        )
+        return (
+            eps_phar * mask_phar[..., None],
+            eps_pocket * mask_pocket[..., None],
+        )
+
+    return apply_fn
