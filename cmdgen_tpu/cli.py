@@ -1,0 +1,350 @@
+"""Unified command-line interface for every pipeline stage.
+
+Replaces the reference's scattered per-stage CLIs (DiffPhar/train.py,
+generate_phars.py, test.py; GCPG/train_chembl33_baseline.py, generate.py,
+generate_docked.py, test_generation.py; get_phar/*.py; PharAlign/align.sh)
+with one entry point:
+
+  python -m cmdgen_tpu.cli <command> [...]
+
+Commands: preprocess, train-diffphar, sample-phars, get-phar, train-gcpg,
+finetune-gcpg, generate, align, eval-diffphar, eval-gcpg.
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+from pathlib import Path
+
+
+def _add_preprocess(sub):
+    p = sub.add_parser("preprocess", help="CrossDocked (PDB, SDF) pairs -> npz")
+    p.add_argument("pairs_file", help="TSV: split<TAB>pocket.pdb<TAB>ligand.sdf")
+    p.add_argument("out_dir")
+    p.add_argument("--dataset", default="crossdock_full",
+                   choices=["crossdock_full", "crossdock"])
+    p.add_argument("--representation", default="full-atom",
+                   choices=["full-atom", "CA"])
+
+    def run(args):
+        from cmdgen_tpu.data.crossdocked import process_dataset
+
+        pairs = []
+        for line in Path(args.pairs_file).read_text().strip().split("\n"):
+            split, pdb, sdf = line.split("\t")
+            pairs.append((split, pdb, sdf))
+        stats = process_dataset(
+            pairs, args.out_dir, args.dataset, args.representation
+        )
+        print(json.dumps(stats))
+
+    p.set_defaults(run=run)
+
+
+def _add_train_diffphar(sub):
+    p = sub.add_parser("train-diffphar", help="train the diffusion model")
+    p.add_argument("datadir")
+    p.add_argument("out_dir")
+    p.add_argument("--config", default="full", choices=["full", "ca"])
+    p.add_argument("--max-steps", type=int, default=None)
+    p.add_argument("--epochs", type=int, default=None)
+    p.add_argument("--batch-size", type=int, default=None)
+
+    def run(args):
+        import dataclasses
+
+        from cmdgen_tpu import config as cfgmod
+        from cmdgen_tpu.train.diffphar_train import train_diffphar
+
+        cfg = (
+            cfgmod.full_atom_config() if args.config == "full"
+            else cfgmod.ca_config()
+        )
+        tr = cfg.train
+        if args.epochs:
+            tr = dataclasses.replace(tr, n_epochs=args.epochs)
+        if args.batch_size:
+            tr = dataclasses.replace(tr, batch_size=args.batch_size)
+        cfg = dataclasses.replace(cfg, train=tr)
+        train_diffphar(
+            cfg, args.datadir, args.out_dir, max_steps=args.max_steps,
+            log_fn=lambda s, m: print(s, json.dumps(m)),
+        )
+
+    p.set_defaults(run=run)
+
+
+def _load_diffphar_ckpt(ckpt_dir, which="best"):
+    import dataclasses
+
+    import numpy as np
+
+    from cmdgen_tpu import config as cfgmod
+    from cmdgen_tpu.train import checkpoint as ckpt
+    from cmdgen_tpu.train.diffphar_train import build_model
+
+    payload, meta = ckpt.load_checkpoint(ckpt_dir, which)
+    cfg = cfgmod.from_dict(cfgmod.DiffPharConfig, meta["config"])
+    model = build_model(cfg)
+    return model, payload["params"], cfg
+
+
+def _add_sample_phars(sub):
+    p = sub.add_parser("sample-phars", help="sample pharmacophores for a pocket")
+    p.add_argument("ckpt_dir")
+    p.add_argument("pdbfile")
+    p.add_argument("out_json")
+    p.add_argument("--ref-ligand", default=None, help="chain:resid")
+    p.add_argument("--resi-list", nargs="*", default=None)
+    p.add_argument("--n-samples", type=int, default=100)
+    p.add_argument("--timesteps", type=int, default=None)
+    p.add_argument("--seed", type=int, default=0)
+
+    def run(args):
+        import jax
+
+        from cmdgen_tpu.pipeline.sample_phars import sample_phars_to_json
+
+        model, params, cfg = _load_diffphar_ckpt(args.ckpt_dir)
+        sample_phars_to_json(
+            model, params, jax.random.PRNGKey(args.seed), args.pdbfile,
+            args.out_json, dataset=cfg.data.dataset,
+            representation=cfg.data.pocket_representation,
+            ref_ligand=args.ref_ligand, resi_list=args.resi_list,
+            n_samples=args.n_samples, timesteps=args.timesteps,
+        )
+        print(f"wrote {args.out_json}")
+
+    p.set_defaults(run=run)
+
+
+def _add_get_phar(sub):
+    p = sub.add_parser("get-phar", help="consensus clustering -> .posp")
+    p.add_argument("cloud_json")
+    p.add_argument("out_posp")
+    p.add_argument("--method", default="gmm", choices=["gmm", "kmeans", "dbscan"])
+    p.add_argument("--n-clusters", type=int, default=7)
+    p.add_argument("--eps", type=float, default=0.2)
+    p.add_argument("--min-samples", type=int, default=12)
+    p.add_argument("--dual-json", default=None,
+                   help="second target cloud: dual-target mode")
+    p.add_argument("--select-json", default=None,
+                   help="anti-target cloud: selectivity mode")
+    p.add_argument("--seed", type=int, default=42)
+
+    def run(args):
+        from cmdgen_tpu.pipeline import get_phar as gp
+
+        coords, fams = gp.load_point_cloud_json(args.cloud_json)
+        if args.dual_json:
+            c2, f2 = gp.load_point_cloud_json(args.dual_json)
+            cons2, cons1 = gp.dual_target_consensus(
+                coords, fams, c2, f2, n_clusters=args.n_clusters,
+                seed=args.seed,
+            )
+            out = Path(args.out_posp)
+            gp.write_consensus(out.with_suffix(".dual1.posp"), cons1)
+            gp.write_consensus(out.with_suffix(".dual2.posp"), cons2)
+            print(f"wrote {out.with_suffix('.dual1.posp')} and .dual2.posp")
+            return
+        if args.select_json:
+            c2, _ = gp.load_point_cloud_json(args.select_json)
+            cons = gp.selective_consensus(
+                coords, fams, c2, eps=args.eps, min_samples=args.min_samples
+            )
+        elif args.method == "gmm":
+            cons = gp.consensus_gmm(coords, fams, args.n_clusters, args.seed)
+        elif args.method == "kmeans":
+            cons = gp.consensus_kmeans(coords, fams, args.n_clusters, args.seed)
+        else:
+            cons = gp.consensus_dbscan(
+                coords, fams, eps=args.eps, min_samples=args.min_samples
+            )
+        gp.write_consensus(args.out_posp, cons)
+        print(f"wrote {args.out_posp} ({len(cons)} points)")
+
+    p.set_defaults(run=run)
+
+
+def _read_smiles_and_props(smiles_file, props_file=None):
+    smiles = Path(smiles_file).read_text().strip().split("\n")
+    if props_file:
+        props = json.loads(Path(props_file).read_text())
+    else:
+        from cmdgen_tpu.chem.descriptors import all_properties
+
+        keys = ["MW", "logP", "QED", "SAS", "HBA", "HBD", "RotaNumBonds"]
+        props = {k: [] for k in keys}
+        kept = []
+        for s in smiles:
+            p = all_properties(s)
+            if p is None:
+                continue
+            kept.append(s)
+            for k in keys:
+                props[k].append(p[k])
+        smiles = kept
+    return smiles, props
+
+
+def _add_train_gcpg(sub):
+    p = sub.add_parser("train-gcpg", help="train the SMILES generator")
+    p.add_argument("smiles_file")
+    p.add_argument("out_dir")
+    p.add_argument("--props-json", default=None)
+    p.add_argument("--epochs", type=int, default=32)
+    p.add_argument("--batch-size", type=int, default=128)
+    p.add_argument("--max-steps", type=int, default=None)
+    p.add_argument("--finetune-from", default=None)
+    p.add_argument("--score-only-gate", action="store_true",
+                   help="docking-finetune condition gate [0,0,0,0,0,1,0]")
+
+    def run(args):
+        import dataclasses
+
+        from cmdgen_tpu.config import GCPGModelConfig, GCPGTrainConfig
+        from cmdgen_tpu.train.gcpg_train import FINETUNE_GATE, train_gcpg
+
+        smiles, props = _read_smiles_and_props(
+            args.smiles_file, args.props_json
+        )
+        tcfg = GCPGTrainConfig(
+            batch_size=args.batch_size, n_epochs=args.epochs,
+        )
+        if args.score_only_gate:
+            tcfg = dataclasses.replace(tcfg, condition_gate=FINETUNE_GATE)
+        train_gcpg(
+            GCPGModelConfig(), tcfg, smiles, props, args.out_dir,
+            max_steps=args.max_steps, finetune_from=args.finetune_from,
+            log_fn=lambda s, m: print(s, json.dumps(m)),
+        )
+
+    p.set_defaults(run=run)
+
+
+def _load_gcpg_ckpt(ckpt_dir, which="best"):
+    from cmdgen_tpu import config as cfgmod
+    from cmdgen_tpu.chem.tokenizer import Tokenizer
+    from cmdgen_tpu.models.gcpg import GCPG
+    from cmdgen_tpu.train import checkpoint as ckpt
+
+    payload, meta = ckpt.load_checkpoint(ckpt_dir, which)
+    tokenizer = Tokenizer.from_list(meta["config"]["tokenizer"])
+    mcfg = cfgmod.from_dict(cfgmod.GCPGModelConfig, meta["config"]["model"])
+    model = GCPG(mcfg, vocab_size=len(tokenizer))
+    return model, payload["params"], tokenizer
+
+
+def _add_generate(sub):
+    p = sub.add_parser("generate", help=".posp -> SMILES")
+    p.add_argument("phar_file")
+    p.add_argument("out_dir")
+    p.add_argument("ckpt_dir")
+    p.add_argument("--n", type=int, default=128)
+    p.add_argument("--target-score", type=float, default=0.0,
+                   help="docking-score condition (generate_docked.py uses -14)")
+    p.add_argument("--no-filter", action="store_true")
+    p.add_argument("--seed", type=int, default=0)
+
+    def run(args):
+        import jax
+
+        from cmdgen_tpu.pipeline.generate_smiles import generate_to_file
+
+        model, params, tokenizer = _load_gcpg_ckpt(args.ckpt_dir)
+        out = generate_to_file(
+            model, params, tokenizer, jax.random.PRNGKey(args.seed),
+            args.phar_file, args.out_dir, n_per_condition=args.n,
+            conditions={"Score": [args.target_score]},
+            filter_valid=not args.no_filter,
+        )
+        print(f"wrote {out}")
+
+    p.set_defaults(run=run)
+
+
+def _add_align(sub):
+    p = sub.add_parser("align", help="align SMILES conformers onto a .posp")
+    p.add_argument("smiles_file")
+    p.add_argument("posp_file")
+    p.add_argument("out_dir")
+    p.add_argument("--n-conformers", type=int, default=10)
+    p.add_argument("--num-keep", type=int, default=3)
+    p.add_argument("--tolerance", type=int, default=0)
+
+    def run(args):
+        from cmdgen_tpu.pipeline.align import align_smiles_list
+
+        smiles = Path(args.smiles_file).read_text().strip().split("\n")
+        best = align_smiles_list(
+            smiles, args.posp_file, args.out_dir,
+            n_conformers=args.n_conformers, num_keep=args.num_keep,
+            tolerance=args.tolerance,
+        )
+        print(json.dumps({k: round(v, 3) for k, v in best.items()}))
+
+    p.set_defaults(run=run)
+
+
+def _add_eval(sub):
+    p = sub.add_parser("eval-diffphar", help="distribution-match eval")
+    p.add_argument("ckpt_dir")
+    p.add_argument("test_npz")
+    p.add_argument("--n-pockets", type=int, default=20)
+
+    def run(args):
+        import jax
+
+        from cmdgen_tpu.data.dataset import DiffPharDataset
+        from cmdgen_tpu.pipeline.evaluate import eval_diffphar
+
+        model, params, cfg = _load_diffphar_ckpt(args.ckpt_dir)
+        ds = DiffPharDataset(args.test_npz)
+        out = eval_diffphar(
+            model, params, jax.random.PRNGKey(0), ds, args.n_pockets
+        )
+        print(json.dumps(out))
+
+    p.set_defaults(run=run)
+
+    q = sub.add_parser("eval-gcpg", help="generation quality eval")
+    q.add_argument("ckpt_dir")
+    q.add_argument("test_smiles_file")
+    q.add_argument("--n", type=int, default=100)
+
+    def run_q(args):
+        import jax
+
+        from cmdgen_tpu.pipeline.evaluate import eval_gcpg
+
+        model, params, tokenizer = _load_gcpg_ckpt(args.ckpt_dir)
+        smiles = Path(args.test_smiles_file).read_text().strip().split("\n")
+        out = eval_gcpg(
+            model, params, tokenizer, jax.random.PRNGKey(0), smiles, args.n
+        )
+        print(json.dumps(out))
+
+    q.set_defaults(run=run_q)
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(
+        prog="cmdgen_tpu", description=__doc__,
+        formatter_class=argparse.RawDescriptionHelpFormatter,
+    )
+    sub = parser.add_subparsers(dest="command", required=True)
+    _add_preprocess(sub)
+    _add_train_diffphar(sub)
+    _add_sample_phars(sub)
+    _add_get_phar(sub)
+    _add_train_gcpg(sub)
+    _add_generate(sub)
+    _add_align(sub)
+    _add_eval(sub)
+    args = parser.parse_args(argv)
+    args.run(args)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,135 @@
+"""Scientific evaluation harnesses.
+
+Equivalents of the reference's evaluation CLIs:
+- eval_diffphar: DiffPhar/test.py:34-227 — sample pharmacophore clouds per
+  test pocket and compare against the reference pharmacophores (CoM distance
+  to the reference centroid, max pairwise spread, per-type histograms + KL).
+- eval_gcpg: GCPG/test_generation.py:87-269 — generate SMILES for test
+  pharmacophore graphs and score match / validity / uniqueness / novelty.
+"""
+from __future__ import annotations
+
+from typing import Dict, List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from cmdgen_tpu.chem import metrics as qmetrics
+from cmdgen_tpu.chem.constants import PHAR_DECODER, PHAR_HIST
+from cmdgen_tpu.chem.match import get_match_scores
+from cmdgen_tpu.chem.ppgraph import smiles_to_ppgraph
+from cmdgen_tpu.containers import PointCloud
+from cmdgen_tpu.data.dataset import DiffPharDataset
+
+
+def eval_diffphar(
+    model,
+    params,
+    rng,
+    dataset: DiffPharDataset,
+    n_pockets: int = 20,
+    n_samples_per_pocket: int = 4,
+) -> Dict[str, float]:
+    """Distribution-match eval (test.py). Returns summary metrics."""
+    com_dists: List[float] = []
+    spreads_gen: List[float] = []
+    spreads_ref: List[float] = []
+    type_hist = np.zeros(len(PHAR_DECODER))
+    n_pockets = min(n_pockets, len(dataset))
+    for i in range(n_pockets):
+        batch = dataset.padded_batch([i] * n_samples_per_pocket)
+        pocket = PointCloud(
+            x=jnp.asarray(batch["pocket_x"]),
+            h=jnp.asarray(batch["pocket_h"]),
+            mask=jnp.asarray(batch["pocket_mask"]),
+        )
+        ref_x = batch["phar_x"][0]
+        ref_mask = batch["phar_mask"][0] > 0.5
+        ref_pts = ref_x[ref_mask]
+        n_ref = int(ref_mask.sum())
+        rng, sub = jax.random.split(rng)
+        out, _ = model.sample_given_pocket(
+            params, sub, pocket,
+            jnp.full((n_samples_per_pocket,), n_ref),
+            dataset.n_phar_max,
+        )
+        x = np.asarray(out.x)
+        h = np.asarray(out.h)
+        m = np.asarray(out.mask) > 0.5
+        ref_com = ref_pts.mean(axis=0)
+        for s in range(n_samples_per_pocket):
+            pts = x[s][m[s]]
+            if len(pts) == 0:
+                continue
+            com_dists.append(float(np.linalg.norm(pts.mean(0) - ref_com)))
+            if len(pts) > 1:
+                d = np.sqrt(((pts[:, None] - pts[None]) ** 2).sum(-1))
+                spreads_gen.append(float(d.max()))
+            types = h[s][m[s]].argmax(-1)
+            for t in types:
+                type_hist[int(t)] += 1
+        if n_ref > 1:
+            d = np.sqrt(((ref_pts[:, None] - ref_pts[None]) ** 2).sum(-1))
+            spreads_ref.append(float(d.max()))
+    ref_hist = np.asarray([PHAR_HIST[k] for k in PHAR_DECODER], dtype=float)
+    return {
+        "com_dist_mean": float(np.mean(com_dists)) if com_dists else np.nan,
+        "spread_gen_mean": float(np.mean(spreads_gen)) if spreads_gen else np.nan,
+        "spread_ref_mean": float(np.mean(spreads_ref)) if spreads_ref else np.nan,
+        "kl_types": qmetrics.categorical_kl(type_hist, ref_hist),
+        "n_sampled": int(sum(type_hist)),
+    }
+
+
+def eval_gcpg(
+    model,
+    params,
+    tokenizer,
+    rng,
+    test_smiles: Sequence[str],
+    n_molecules: int = 100,
+    conditions: Optional[np.ndarray] = None,
+    train_set: Optional[set] = None,
+    match_workers: int = 4,
+) -> Dict[str, float]:
+    """Generation eval on test pharmacophores (test_generation.py)."""
+    from cmdgen_tpu.models import gcpg as gcpg_mod
+
+    import random as _random
+
+    py_rng = _random.Random(0)
+    graphs, used = [], []
+    for s in test_smiles:
+        if len(graphs) >= n_molecules:
+            break
+        g = smiles_to_ppgraph(s, py_rng)
+        if g is not None:
+            graphs.append(g[:3])
+            used.append(s)
+    if not graphs:
+        return {"n_eval": 0}
+    pp_h = jnp.asarray(np.stack([g[0] for g in graphs]))
+    pp_e = jnp.asarray(np.stack([g[1] for g in graphs]))
+    pp_mask = jnp.asarray(np.stack([g[2] for g in graphs]))
+    b = pp_h.shape[0]
+    if conditions is None:
+        conditions = np.tile(
+            np.asarray([[400, 4, 0.6, 4, 4, 0, 0]], dtype=np.float32), (b, 1)
+        )
+    rng, sub = jax.random.split(rng)
+    toks = gcpg_mod.generate(
+        model, params, sub, pp_h, pp_e, pp_mask,
+        jnp.asarray(conditions), random_sample=True,
+    )
+    smiles_out = tokenizer.get_text(np.asarray(toks))
+    out = qmetrics.evaluate_set(smiles_out, train_set=train_set)
+    scores = get_match_scores(
+        [tuple(np.asarray(a) for a in g) for g in graphs],
+        smiles_out, n_workers=match_workers, timeout=20,
+    )
+    valid_scores = [s for s in scores if s >= 0]
+    out["match_score"] = float(np.mean(valid_scores)) if valid_scores else -1.0
+    out["match_timeout_rate"] = float(np.mean([s == -2 for s in scores]))
+    out["n_eval"] = len(smiles_out)
+    return out

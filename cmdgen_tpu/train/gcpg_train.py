@@ -125,3 +125,104 @@ def gcpg_optimizer(cfg: GCPGTrainConfig, steps_per_epoch: int = 1000):
 
 
 FINETUNE_GATE = (0, 0, 0, 0, 0, 1, 0)  # score-only (finetune_docking_epoch1.py:154)
+
+
+def train_gcpg(
+    model_cfg,
+    train_cfg: GCPGTrainConfig,
+    smiles_list,
+    properties: Dict,
+    out_dir,
+    val_smiles=None,
+    max_steps=None,
+    finetune_from=None,
+    log_fn=lambda step, m: None,
+):
+    """Full GCPG training loop (train_chembl33_baseline.py __main__ body;
+    with ``finetune_from`` + the score-only gate it becomes the docking
+    finetune, finetune_docking_epoch1.py)."""
+    from pathlib import Path
+
+    import numpy as np
+
+    from cmdgen_tpu.chem.tokenizer import Tokenizer, gen_vocabs
+    from cmdgen_tpu.data.dataset import GCPGSmilesDataset
+    from cmdgen_tpu.train import checkpoint as ckpt
+
+    out_dir = Path(out_dir)
+    out_dir.mkdir(parents=True, exist_ok=True)
+
+    if finetune_from is not None:
+        payload, meta = ckpt.load_checkpoint(finetune_from, "last")
+        tokenizer = Tokenizer.from_list(meta["config"]["tokenizer"])
+    else:
+        tokenizer = Tokenizer(gen_vocabs(smiles_list))
+
+    data = GCPGSmilesDataset(
+        smiles_list, properties, tokenizer, max_len=model_cfg.max_len,
+        use_random_input_smiles=True, corrupt=True, seed=train_cfg.seed,
+    )
+    model = GCPG(model_cfg, vocab_size=len(tokenizer))
+
+    steps_per_epoch = max(len(data) // train_cfg.batch_size, 1)
+    optimizer = gcpg_optimizer(train_cfg, steps_per_epoch)
+    step_fn = jax.jit(
+        make_gcpg_train_step(
+            model, optimizer, train_cfg.condition_gate, train_cfg.grad_clip
+        )
+    )
+
+    rng = jax.random.PRNGKey(train_cfg.seed)
+    first = None
+    for batch in data.iter_batches(min(train_cfg.batch_size, len(data))):
+        first = {k: jnp.asarray(v) for k, v in batch.items()}
+        break
+    assert first is not None, "no valid training molecules"
+    if finetune_from is not None:
+        params = payload["params"]
+    else:
+        rng, k_init = jax.random.split(rng)
+        params = model.init(
+            k_init, jax.random.PRNGKey(0), first["inputs"],
+            first["input_valid"], first["pp_h"], first["pp_e"],
+            first["pp_mask"], first["targets"], first["props"][:, :7],
+        )
+    opt_state = optimizer.init(params)
+
+    beta_it = default_beta_schedule(train_cfg)
+    step = 0
+    for epoch in range(train_cfg.n_epochs):
+        beta = next(beta_it)
+        losses = []
+        for batch in data.iter_batches(train_cfg.batch_size):
+            jb = {k: jnp.asarray(v) for k, v in batch.items()}
+            rng, sub = jax.random.split(rng)
+            params, opt_state, metrics = step_fn(
+                params, opt_state, sub, jb, beta
+            )
+            losses.append(float(metrics["loss"]))
+            step += 1
+            if step % 100 == 0:
+                log_fn(step, {k: float(v) for k, v in metrics.items()})
+            if max_steps and step >= max_steps:
+                break
+        mean_loss = float(np.mean(losses)) if losses else float("nan")
+        log_fn(step, {"epoch": epoch, "beta": beta, "loss/train": mean_loss})
+        ckpt.save_checkpoint(
+            out_dir, {"params": params, "opt_state": opt_state},
+            step=step,
+            config={
+                "model": _cfg_dict(model_cfg), "train": _cfg_dict(train_cfg),
+                "tokenizer": tokenizer.to_list(),
+            },
+            monitor_value=mean_loss,
+        )
+        if max_steps and step >= max_steps:
+            break
+    return params, model, tokenizer
+
+
+def _cfg_dict(cfg):
+    from cmdgen_tpu.config import to_dict
+
+    return to_dict(cfg)

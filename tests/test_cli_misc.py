@@ -1,0 +1,125 @@
+"""CLI plumbing, molecule builder, GammaNetwork, profiling, docking gating."""
+import json
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from cmdgen_tpu.chem import mol_build
+from cmdgen_tpu.diffusion.gamma_net import GammaNetwork
+from cmdgen_tpu.pipeline import docking
+from cmdgen_tpu.utils.profiling import AverageMeter, StepTimer, time_since
+
+
+def test_bond_order_from_distance():
+    assert mol_build.get_bond_order("C", "C", 1.54) == 1
+    assert mol_build.get_bond_order("C", "C", 1.34) == 2
+    assert mol_build.get_bond_order("C", "C", 1.20) == 3
+    assert mol_build.get_bond_order("C", "C", 3.0) == 0
+    assert mol_build.get_bond_order("C", "O", 1.43) == 1
+
+
+def test_make_mol_and_stability():
+    # methane-like: C with 4 H at ~1.09 Å
+    symbols = ["C", "H", "H", "H", "H"]
+    d = 1.09
+    coords = np.array(
+        [[0, 0, 0], [d, 0, 0], [-d / 3, d, 0], [-d / 3, -d / 2, d / 2],
+         [-d / 3, -d / 2, -d / 2]],
+        dtype=np.float32,
+    )
+    mol = mol_build.make_mol(symbols, coords)
+    assert len(mol.bonds) == 4
+    stable, mol_ok = mol_build.check_stability(symbols, coords)
+    assert stable >= 4
+
+
+def test_process_molecule_largest_fragment():
+    # ethane + far-away lone carbon -> keep ethane
+    symbols = ["C", "C", "C"]
+    coords = np.array([[0, 0, 0], [1.54, 0, 0], [50, 50, 50]], dtype=np.float32)
+    out = mol_build.process_molecule(symbols, coords)
+    assert out is not None
+    mol, kept_coords, smiles = out
+    assert mol.n_atoms == 2 and smiles == "CC"
+
+
+def test_xyz_roundtrip(tmp_path):
+    symbols = ["C", "O"]
+    coords = np.array([[0.0, 0.0, 0.0], [1.2, 0.0, 0.0]])
+    p = tmp_path / "m.xyz"
+    mol_build.save_xyz(p, symbols, coords, comment="test")
+    s2, c2 = mol_build.load_xyz(p)
+    assert s2 == symbols
+    np.testing.assert_allclose(c2, coords, atol=1e-5)
+
+
+def test_gamma_network_monotone():
+    net = GammaNetwork(hidden=64)
+    t = jnp.linspace(0, 1, 21)[:, None]
+    params = net.init(jax.random.PRNGKey(0), t)
+    g = np.asarray(net.apply(params, t))[:, 0]
+    assert np.all(np.diff(g) > -1e-5), "gamma must be monotone"
+    assert g[0] == pytest.approx(-5.0, abs=1e-4)
+    assert g[-1] == pytest.approx(10.0, abs=1e-4)
+
+
+def test_profiling_utils():
+    m = AverageMeter()
+    m.update(1.0)
+    m.update(3.0)
+    assert m.avg == 2.0
+    t = StepTimer()
+    with t.phase("data"):
+        pass
+    with t.phase("step"):
+        pass
+    s = t.summary()
+    assert set(s) == {"data", "step"}
+    assert "remain" in time_since(__import__("time").time() - 10, 0.5)
+
+
+def test_docking_gated():
+    # binaries absent in this image: availability must be False and the
+    # adapters must raise informative errors rather than crash
+    if docking.docking_available():
+        pytest.skip("docking binaries present")
+    with pytest.raises(RuntimeError):
+        docking.smina_score_only("r.pdbqt", "l.pdbqt")
+
+
+def test_pdbqt_writer(tmp_path):
+    from cmdgen_tpu.chem.mol import mol_from_smiles
+
+    mol = mol_from_smiles("c1ccccc1N")
+    coords = np.random.RandomState(0).randn(mol.n_atoms, 3)
+    p = tmp_path / "lig.pdbqt"
+    docking.write_pdbqt(p, mol, coords)
+    text = p.read_text()
+    assert "ROOT" in text and "TORSDOF 0" in text
+    # aromatic carbons typed as A
+    assert " A\n" in text or " A " in text.replace("\n", " \n")
+
+
+def test_cli_help_and_getphar(tmp_path):
+    from cmdgen_tpu import cli
+
+    with pytest.raises(SystemExit):
+        cli.main(["--help"])
+    # get-phar end to end on a tiny synthetic cloud
+    rng = np.random.RandomState(0)
+    data = {
+        f"Molecule_{i}": {
+            "Donor": [(rng.randn(3) * 0.2).tolist()],
+            "Aromatic": [(rng.randn(3) * 0.2 + [5, 0, 0]).tolist()],
+        }
+        for i in range(30)
+    }
+    cloud = tmp_path / "c.json"
+    cloud.write_text(json.dumps(data))
+    out = tmp_path / "o.posp"
+    cli.main(["get-phar", str(cloud), str(out), "--n-clusters", "2"])
+    assert out.exists()
+    lines = out.read_text().strip().split("\n")
+    assert len(lines) == 2
