@@ -137,7 +137,8 @@ def _type_mlp(h, p):
 
 
 def make_pallas_apply(cfg: DynamicsConfig, tile: int = 16,
-                      interpret: bool = False, compute_dtype=None):
+                      interpret: bool = False, compute_dtype=None,
+                      sparse: bool = False):
     """A drop-in replacement for EGNNDynamics.apply backed by the fused
     Pallas EGNN kernels (ops/egnn_pallas.py). Same signature/params tree;
     inference path (no custom VJP — use the flax path for training)."""
@@ -180,6 +181,8 @@ def make_pallas_apply(cfg: DynamicsConfig, tile: int = 16,
             tanh=cfg.egnn.tanh, tile=tile, interpret=interpret,
             compute_dtype=(compute_dtype if compute_dtype is not None
                            else cfg.egnn.compute_dtype),
+            sparse=sparse,
+            cutoff2=(cfg.edge_cutoff**2 if cfg.edge_cutoff else 1.0e9),
         )
         vel = (x_final - x) * mask[..., None]
         if cfg.condition_time:

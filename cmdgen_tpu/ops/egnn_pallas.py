@@ -204,6 +204,219 @@ def _pair_pass(
     return out[:, :n]
 
 
+# ------------------------------------------------------- block-sparse pass
+
+def _make_sparse_kernel(mode: str, tile_i: int, tile_j: int, n_pad: int,
+                        hdim: int, compute_dtype=jnp.bfloat16):
+    """Block-sparse variant: per (b, i-tile) program, loop j-chunks and skip
+    chunks with no edges (the 6 Å cutoff makes most pocket pair blocks
+    empty — XLA's dense path cannot exploit that).
+
+    The edge mask and the dist0 edge feature are recomputed in-kernel from
+    the dynamics-entry coordinates x0 (the caller teleports padded nodes far
+    away so the cutoff test excludes them); this keeps every dynamic slice
+    in the sublane dimension, which Mosaic supports at 8-row granularity.
+    """
+    n_chunks = n_pad // tile_j
+
+    def _silu(v):
+        one = jnp.ones((), dtype=v.dtype)
+        return v / (one + jnp.exp(-v))
+
+    def kernel(
+        counts_ref,  # scalar prefetch: [B, NTI, NTJ] int32 edge counts
+        x_ref,      # [1, N, 3] current coords
+        x0_ref,     # [1, N, 3] entry coords (padded nodes offset far away)
+        wi_ref,     # [1, TI, H]
+        wj_ref,     # [1, N, H]
+        we_ref,     # [2, H]
+        w2_ref,     # [H, H]
+        b2_ref,     # [1, H]
+        head_ref,   # [H, 1]
+        headb_ref,  # [1, 1]
+        scal_ref,   # [1, 5] (norm_constant, coords_range, norm_factor, tanh, cutoff2)
+        out_ref,    # [1, TI, H] | [1, TI, 3]
+        acc_ref,    # scratch [TI, out_dim] f32
+    ):
+        bi = pl.program_id(0)
+        it = pl.program_id(1)
+        norm_constant = scal_ref[0, 0]
+        coords_range = scal_ref[0, 1]
+        norm_factor = scal_ref[0, 2]
+        tanh_flag = scal_ref[0, 3]
+        cutoff2 = scal_ref[0, 4]
+
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+        x_i = x_ref[0, pl.ds(it * tile_i, tile_i), :]
+        x0_i = x0_ref[0, pl.ds(it * tile_i, tile_i), :]
+        wi = wi_ref[0].astype(compute_dtype)
+        we_r = we_ref[0:1, :].reshape(1, 1, hdim).astype(compute_dtype)
+        we_d = we_ref[1:2, :].reshape(1, 1, hdim).astype(compute_dtype)
+
+        def chunk(jt, carry):
+            @pl.when(counts_ref[bi, it, jt] > 0)
+            def _():
+                x_j = x_ref[0, pl.ds(jt * tile_j, tile_j), :]
+                x0_j = x0_ref[0, pl.ds(jt * tile_j, tile_j), :]
+                diff = x_i[:, None, :] - x_j[None, :, :]
+                radial = jnp.sum(diff * diff, axis=-1)  # [TI, TJ]
+                diff0 = x0_i[:, None, :] - x0_j[None, :, :]
+                d0 = jnp.sum(diff0 * diff0, axis=-1)
+                em = (d0 <= cutoff2).astype(jnp.float32)
+                wj = wj_ref[0, pl.ds(jt * tile_j, tile_j), :].astype(
+                    compute_dtype
+                )
+                pre = (
+                    wi[:, None, :]
+                    + wj[None, :, :]
+                    + radial[..., None].astype(compute_dtype) * we_r
+                    + d0[..., None].astype(compute_dtype) * we_d
+                )
+                m = _silu(pre).reshape(tile_i * tile_j, hdim)
+                m = (
+                    jnp.dot(
+                        m,
+                        w2_ref[:].astype(compute_dtype),
+                        preferred_element_type=jnp.float32,
+                    )
+                    + b2_ref[0][None, :]
+                )
+                m = _silu(m.astype(compute_dtype))
+                if mode == "msg":
+                    att = jax.nn.sigmoid(
+                        jnp.dot(
+                            m,
+                            head_ref[:].astype(compute_dtype),
+                            preferred_element_type=jnp.float32,
+                        )
+                        + headb_ref[0, 0]
+                    )
+                    mm = (
+                        m.astype(jnp.float32) * att
+                    ).reshape(tile_i, tile_j, hdim) * em[..., None]
+                    acc_ref[:] += jnp.sum(mm, axis=1)
+                else:
+                    g = jnp.dot(
+                        m,
+                        head_ref[:].astype(compute_dtype),
+                        preferred_element_type=jnp.float32,
+                    )
+                    g = jnp.where(
+                        tanh_flag > 0, jnp.tanh(g) * coords_range, g
+                    )
+                    norm = jnp.sqrt(radial + 1e-8)
+                    cd = diff / (norm + norm_constant)[..., None]
+                    trans = (
+                        cd * g.reshape(tile_i, tile_j, 1) * em[..., None]
+                    )
+                    acc_ref[:] += jnp.sum(trans, axis=1)
+            return carry
+
+        jax.lax.fori_loop(0, n_chunks, chunk, 0)
+        out_ref[0] = (acc_ref[:] / norm_factor).astype(out_ref.dtype)
+
+    return kernel
+
+
+FAR_OFFSET = 1.0e4  # padded nodes are moved out beyond any cutoff
+
+
+def _pair_pass_sparse(
+    mode: str, x, dist0, emask, wi, wj, we, w2, b2, head, headb,
+    norm_constant, coords_range, norm_factor, tanh,
+    tile_i: int = 16, tile_j: int = 32,
+    interpret: bool = False, compute_dtype=jnp.bfloat16,
+    x0=None, valid=None, cutoff2=None,
+):
+    """Sparse pass. Unlike the dense pass, requires x0 (entry coords),
+    valid mask, and cutoff2 instead of dense dist0/emask tensors (dist0 and
+    emask args are accepted for signature compatibility but only used to
+    compute the chunk-occupancy counts)."""
+    b, n, _ = x.shape
+    hdim = wi.shape[-1]
+    if x0 is None or valid is None:
+        raise ValueError("sparse pass needs x0 and valid")
+    if cutoff2 is None:
+        cutoff2 = 1.0e9
+    n_pad = _round_up(n, max(tile_i, tile_j))
+    if n_pad != n:
+        def pad(a, axes):
+            return jnp.pad(
+                a,
+                [(0, n_pad - n) if i in axes else (0, 0) for i in range(a.ndim)],
+            )
+
+        x = pad(x, (1,))
+        x0 = pad(x0, (1,))
+        wi = pad(wi, (1,))
+        wj = pad(wj, (1,))
+        emask = pad(emask, (1, 2))
+        valid = jnp.pad(valid, ((0, 0), (0, n_pad - n)))
+    # teleport invalid nodes far away (distinct offsets so they also avoid
+    # each other); the in-kernel cutoff test then reproduces the edge mask
+    far = FAR_OFFSET * (1.0 + jnp.arange(n_pad, dtype=jnp.float32))
+    x0 = jnp.where(
+        valid[..., None] > 0, x0, far[None, :, None]
+    )
+    nti, ntj = n_pad // tile_i, n_pad // tile_j
+    counts = jnp.sum(
+        emask.reshape(b, nti, tile_i, ntj, tile_j), axis=(2, 4)
+    ).astype(jnp.int32)
+    scal = jnp.asarray(
+        [[norm_constant, coords_range, norm_factor,
+          1.0 if tanh else 0.0, float(cutoff2)]],
+        dtype=jnp.float32,
+    )
+    out_dim = hdim if mode == "msg" else 3
+    kernel = _make_sparse_kernel(
+        mode, tile_i, tile_j, n_pad, hdim, compute_dtype
+    )
+
+    im_row = lambda bi, ti, *_: (bi, 0, 0)
+    im_tile = lambda bi, ti, *_: (bi, ti, 0)
+    im_w = lambda bi, ti, *_: (0, 0)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(b, nti),
+        in_specs=[
+            pl.BlockSpec((1, n_pad, 3), im_row, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n_pad, 3), im_row, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile_i, hdim), im_tile, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n_pad, hdim), im_row, memory_space=pltpu.VMEM),
+            pl.BlockSpec((2, hdim), im_w, memory_space=pltpu.VMEM),
+            pl.BlockSpec((hdim, hdim), im_w, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, hdim), im_w, memory_space=pltpu.VMEM),
+            pl.BlockSpec((hdim, 1), im_w, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1), im_w, memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 5), im_w, memory_space=pltpu.SMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, tile_i, out_dim), im_tile, memory_space=pltpu.VMEM
+        ),
+        scratch_shapes=[pltpu.VMEM((tile_i, out_dim), jnp.float32)],
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((b, n_pad, out_dim), jnp.float32),
+        interpret=interpret,
+    )(
+        counts,
+        x.astype(jnp.float32),
+        x0.astype(jnp.float32),
+        wi.astype(compute_dtype),
+        wj.astype(compute_dtype),
+        we.astype(compute_dtype),
+        w2.astype(compute_dtype),
+        b2.reshape(1, -1).astype(jnp.float32),
+        head.astype(compute_dtype),
+        jnp.reshape(headb, (1, 1)).astype(jnp.float32),
+        scal,
+    )
+    return out[:, :n]
+
+
 # ------------------------------------------------------------ full forward
 
 def _dense(h, p):
@@ -229,11 +442,14 @@ def egnn_forward_pallas(
     tile: int = 16,
     interpret: bool = False,
     compute_dtype=jnp.bfloat16,
+    sparse: bool = False,
+    cutoff2: float = 1.0e9,
 ):
     """Pallas-accelerated equivalent of models.egnn.EGNN.__call__ for
     inv_sublayers == 1 (the flagship configs). ``egnn_params`` is the flax
     param subtree of the EGNN module."""
     coords_range_layer = coords_range / n_layers
+    x_entry = x
     diff0 = x[:, :, None, :] - x[:, None, :, :]
     dist0 = jnp.sum(diff0 * diff0, axis=-1)  # [B, N, N]
 
@@ -246,12 +462,15 @@ def egnn_forward_pallas(
         wi = h @ gcl["edge_in"]["w_i"]["kernel"]
         wj = _dense(h, gcl["edge_in"]["w_j"])
         we = gcl["edge_in"]["w_e"]["kernel"]  # [2, H]
-        agg = _pair_pass(
+        pass_fn = _pair_pass_sparse if sparse else _pair_pass
+        agg = pass_fn(
             "msg", x, dist0, edge_mask, wi, wj, we,
             gcl["edge_out"]["kernel"], gcl["edge_out"]["bias"],
             gcl["att"]["kernel"], gcl["att"]["bias"],
             norm_constant, coords_range_layer, normalization_factor, tanh,
-            tile=tile, interpret=interpret, compute_dtype=compute_dtype,
+            interpret=interpret, compute_dtype=compute_dtype,
+            **({"tile_i": tile, "x0": x_entry, "valid": node_mask,
+                "cutoff2": cutoff2} if sparse else {"tile": tile}),
         )
         upd = jnp.concatenate([h, agg.astype(h.dtype)], axis=-1)
         upd = jax.nn.silu(_dense(upd, gcl["node_in"]))
@@ -261,12 +480,14 @@ def egnn_forward_pallas(
         cwi = h @ cu["coord_in"]["w_i"]["kernel"]
         cwj = _dense(h, cu["coord_in"]["w_j"])
         cwe = cu["coord_in"]["w_e"]["kernel"]
-        cagg = _pair_pass(
+        cagg = pass_fn(
             "coord", x, dist0, edge_mask, cwi, cwj, cwe,
             cu["coord_mid"]["kernel"], cu["coord_mid"]["bias"],
             cu["coord_gate"]["kernel"], jnp.zeros(()),
             norm_constant, coords_range_layer, normalization_factor, tanh,
-            tile=tile, interpret=interpret, compute_dtype=compute_dtype,
+            interpret=interpret, compute_dtype=compute_dtype,
+            **({"tile_i": tile, "x0": x_entry, "valid": node_mask,
+                "cutoff2": cutoff2} if sparse else {"tile": tile}),
         )
         if update_coords_mask is not None:
             cagg = cagg * update_coords_mask[..., None]
