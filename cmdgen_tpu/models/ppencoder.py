@@ -62,27 +62,120 @@ class EGATLayer(nn.Module):
         return h_out, e_out
 
 
+class GatedGCNLayer(nn.Module):
+    """Dense GatedGCN (benchmarking-gnns style) — equivalent of the
+    reference's alternative GGCNEncoderBlock (GCPG/model/ggcn_layers.py:
+    14-123, imported but not active in the shipped model)."""
+
+    dim: int
+
+    @nn.compact
+    def __call__(self, h, e, node_mask):
+        emask = node_mask[:, :, None] * node_mask[:, None, :]
+        # edge gate e'_ij = A e_ij + B h_i + C h_j
+        e_new = (
+            nn.Dense(self.dim, name="A")(e)
+            + nn.Dense(self.dim, name="B")(h)[:, :, None, :]
+            + nn.Dense(self.dim, name="C")(h)[:, None, :, :]
+        )
+        eta = jax.nn.sigmoid(e_new) * emask[..., None]
+        denom = jnp.sum(eta, axis=2) + 1e-6
+        msg = jnp.einsum(
+            "bijd,bjd->bid", eta, nn.Dense(self.dim, name="V")(h)
+        )
+        h_new = nn.Dense(self.dim, name="U")(h) + msg / denom
+        h = h + nn.relu(nn.LayerNorm()(h_new))
+        e = e + nn.relu(nn.LayerNorm()(e_new))
+        return h * node_mask[..., None], e * emask[..., None]
+
+
+class GINELayer(nn.Module):
+    """Dense GINE conv — equivalent of the reference's alternative
+    GINEEncoderBlock (GCPG/model/gine_layers.py:7-45, unused alternate)."""
+
+    dim: int
+
+    @nn.compact
+    def __call__(self, h, e, node_mask):
+        emask = node_mask[:, :, None] * node_mask[:, None, :]
+        msg = nn.relu(h[:, None, :, :] + e) * emask[..., None]
+        agg = jnp.sum(msg, axis=2)
+        eps = self.param("eps", nn.initializers.zeros, ())
+        out = (1.0 + eps) * h + agg
+        out = nn.Dense(self.dim)(out)
+        out = nn.relu(out)
+        out = nn.Dense(self.dim)(out)
+        return out * node_mask[..., None]
+
+
+class GraphTransformerLayer(nn.Module):
+    """Dense graph transformer with edge-modulated attention — equivalent of
+    the reference's DGLGraphTransformerBlock (GCPG/model/
+    graphtransformer_layers.py:22-461, unused alternate)."""
+
+    dim: int
+    num_heads: int = 8
+
+    @nn.compact
+    def __call__(self, h, e, node_mask):
+        hd = self.dim // self.num_heads
+        b, n, _ = h.shape
+        q = nn.Dense(self.dim, name="q")(h).reshape(b, n, self.num_heads, hd)
+        k = nn.Dense(self.dim, name="k")(h).reshape(b, n, self.num_heads, hd)
+        v = nn.Dense(self.dim, name="v")(h).reshape(b, n, self.num_heads, hd)
+        eb = nn.Dense(self.num_heads, name="edge_bias")(e)  # [B,N,N,Hh]
+        logits = jnp.einsum("bihd,bjhd->bijh", q, k) / (hd**0.5) + eb
+        emask = (node_mask[:, :, None] * node_mask[:, None, :])[..., None]
+        logits = jnp.where(emask > 0, logits, NEG_INF)
+        att = jax.nn.softmax(logits, axis=2) * emask
+        out = jnp.einsum("bijh,bjhd->bihd", att, v).reshape(b, n, self.dim)
+        h = nn.LayerNorm()(h + nn.Dense(self.dim, name="o")(out))
+        ff = nn.Dense(self.dim)(nn.relu(nn.Dense(2 * self.dim)(h)))
+        h = nn.LayerNorm()(h + ff)
+        return h * node_mask[..., None]
+
+
 class PPEncoder(nn.Module):
     """EGATEncoderBlock equivalent: n_layers attention layers with node
-    LayerNorm + dropout, one extra final layer, residual to the input."""
+    LayerNorm + dropout, one extra final layer, residual to the input.
+
+    ``variant`` selects the conv type: 'egat' (the active reference
+    encoder), or the reference's shipped-but-unused alternates 'ggcn',
+    'gine', 'graphtransformer'.
+    """
 
     dim: int
     n_layers: int = 4
     num_heads: int = 8
     dropout: float = 0.0
+    variant: str = "egat"
 
     @nn.compact
     def __call__(self, h, e, node_mask, deterministic=True):
         init = h
         for i in range(self.n_layers):
-            h, e = EGATLayer(self.dim, self.num_heads, name=f"egat_{i}")(
-                h, e, node_mask
-            )
+            if self.variant == "egat":
+                h, e = EGATLayer(self.dim, self.num_heads, name=f"egat_{i}")(
+                    h, e, node_mask
+                )
+            elif self.variant == "ggcn":
+                h, e = GatedGCNLayer(self.dim, name=f"ggcn_{i}")(
+                    h, e, node_mask
+                )
+            elif self.variant == "gine":
+                h = GINELayer(self.dim, name=f"gine_{i}")(h, e, node_mask)
+            elif self.variant == "graphtransformer":
+                h = GraphTransformerLayer(
+                    self.dim, self.num_heads, name=f"gt_{i}"
+                )(h, e, node_mask)
+            else:
+                raise ValueError(self.variant)
             if self.dropout > 0 and not deterministic:
                 h = nn.Dropout(rate=self.dropout, deterministic=False)(h)
             h = nn.LayerNorm(name=f"ln_{i}")(h)
-        h, _ = EGATLayer(self.dim, self.num_heads, name="egat_final")(
-            h, e, node_mask
-        )
+        if self.variant == "egat":
+            h, _ = EGATLayer(self.dim, self.num_heads, name="egat_final")(
+                h, e, node_mask
+            )
         h = h + init
         return h * node_mask[..., None]
