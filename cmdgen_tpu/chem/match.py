@@ -167,7 +167,10 @@ def get_match_scores(
     ]
     if n_workers <= 1:
         return [_worker(a) for a in args]
-    from multiprocessing import Pool
+    import multiprocessing as mp
 
-    with Pool(n_workers, maxtasksperchild=32) as pool:
+    # spawn, not fork: forked children inherit the parent's TPU client and
+    # corrupt it at exit (observed with the axon backend)
+    ctx = mp.get_context("spawn")
+    with ctx.Pool(n_workers, maxtasksperchild=32) as pool:
         return list(pool.imap(_worker, args))

@@ -178,6 +178,103 @@ def embed_conformers(
     return jax.vmap(one)(keys)
 
 
+def embed_conformers_padded(
+    lo: jnp.ndarray,       # [M, Nb, Nb] lower bounds (0 on padded pairs)
+    up: jnp.ndarray,       # [M, Nb, Nb] upper bounds
+    atom_mask: jnp.ndarray,  # [M, Nb]
+    n_conformers: int,
+    rng: jax.Array,
+    refine_steps: int = 200,
+    lr: float = 0.05,
+    groups: Optional[jnp.ndarray] = None,    # [M, G, Nb] centroid weights
+    targets: Optional[jnp.ndarray] = None,   # [M, G, G] target distances
+    group_mask: Optional[jnp.ndarray] = None,  # [M, G]
+    centroid_weight: float = 1.0,
+) -> jnp.ndarray:
+    """Batched embedding: M molecules × n_conformers in ONE jit call.
+
+    Molecules are padded to a common atom count so the whole PharAlign
+    stage compiles once per size bucket instead of once per molecule
+    (the per-molecule path was the end-to-end throughput bottleneck).
+    Returns [M, C, Nb, 3].
+    """
+    m, nb, _ = lo.shape
+    pairm = atom_mask[:, :, None] * atom_mask[:, None, :]
+    off_diag = 1.0 - jnp.eye(nb)[None]
+    pair_valid = pairm * off_diag
+
+    def one(lo_i, up_i, pv_i, g_i, t_i, gm_i, key):
+        k1, k2 = jax.random.split(key)
+        u = jax.random.uniform(k1, (nb, nb))
+        d = lo_i + u * (up_i - lo_i)
+        d = (d + d.T) / 2.0
+        d = d * pv_i  # padded pairs at distance 0
+        x0 = _classical_mds(d * d)
+        x0 = x0 + 0.05 * jax.random.normal(k2, x0.shape)
+
+        def loss(x):
+            diff = x[:, None, :] - x[None, :, :]
+            dist = jnp.sqrt(jnp.sum(diff**2, -1) + 1e-8)
+            over = jnp.maximum(dist - up_i, 0.0)
+            under = jnp.maximum(lo_i - dist, 0.0)
+            l = jnp.sum((over**2 + under**2) * pv_i)
+            if g_i is not None:
+                cents = g_i @ x
+                cd = jnp.sqrt(
+                    jnp.sum((cents[:, None, :] - cents[None, :, :]) ** 2, -1)
+                    + 1e-8
+                )
+                gm2 = gm_i[:, None] * gm_i[None, :]
+                l = l + centroid_weight * jnp.sum(
+                    (cd - t_i) ** 2 * gm2 * (1.0 - jnp.eye(t_i.shape[0]))
+                )
+            return l
+
+        def step(x, _):
+            return x - lr * jax.grad(loss)(x), None
+
+        x, _ = jax.lax.scan(step, x0, None, length=refine_steps)
+        return x
+
+    keys = jax.random.split(rng, m * n_conformers).reshape(m, n_conformers, 2)
+
+    if groups is None:
+        def per_mol(lo_i, up_i, pv_i, keys_i):
+            return jax.vmap(
+                lambda k: one(lo_i, up_i, pv_i, None, None, None, k)
+            )(keys_i)
+
+        return jax.vmap(per_mol)(lo, up, pair_valid, keys)
+
+    def per_mol(lo_i, up_i, pv_i, g_i, t_i, gm_i, keys_i):
+        return jax.vmap(
+            lambda k: one(lo_i, up_i, pv_i, g_i, t_i, gm_i, k)
+        )(keys_i)
+
+    return jax.vmap(per_mol)(
+        lo, up, pair_valid, groups, targets, group_mask, keys
+    )
+
+
+def padded_bounds(mols: List[Mol], n_pad: Optional[int] = None):
+    """Stack per-molecule bounds into padded arrays for
+    embed_conformers_padded. Returns (lo, up, atom_mask) numpy arrays."""
+    sizes = [m.n_atoms for m in mols]
+    if n_pad is None:
+        n_pad = max(sizes)
+    m = len(mols)
+    lo = np.zeros((m, n_pad, n_pad), dtype=np.float32)
+    up = np.zeros((m, n_pad, n_pad), dtype=np.float32)
+    mask = np.zeros((m, n_pad), dtype=np.float32)
+    for i, mol in enumerate(mols):
+        n = mol.n_atoms
+        l, u = bounds_matrix(mol)
+        lo[i, :n, :n] = l
+        up[i, :n, :n] = np.minimum(u, 100.0)
+        mask[i, :n] = 1.0
+    return lo, up, mask
+
+
 def bounds_violation(mol: Mol, coords: np.ndarray) -> float:
     """Mean absolute bound violation of a conformer (quality check)."""
     lower, upper = bounds_matrix(mol)

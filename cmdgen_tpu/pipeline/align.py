@@ -146,6 +146,91 @@ def align_molecule(
     return results[:num_keep]
 
 
+def align_batch(
+    smiles_list: Sequence[str],
+    pp_coords: np.ndarray,
+    pp_types: Sequence[str],
+    rng: jax.Array,
+    n_conformers: int = 10,
+    num_keep: int = 3,
+    refine_steps: int = 200,
+    bucket: int = 16,
+):
+    """Batched alignment: all molecules of a size bucket embed in ONE jit
+    call (ops/dgeom.py:embed_conformers_padded) — the per-molecule path
+    recompiles for every atom count and was the pipeline bottleneck.
+
+    Returns {index: [(rmsd, aligned conformer coords [n_atoms,3]), ...]}.
+    """
+    from cmdgen_tpu.ops.dgeom import embed_conformers_padded, padded_bounds
+
+    k = len(pp_types)
+    targets_full = np.sqrt(
+        ((pp_coords[:, None, :] - pp_coords[None, :, :]) ** 2).sum(-1)
+    ).astype(np.float32)
+
+    # parse + match features host-side
+    entries = []  # (idx, mol, groups)
+    for i, s in enumerate(smiles_list):
+        mol = mol_from_smiles(s)
+        if mol is None:
+            continue
+        groups = match_features_to_points(mol, pp_types)
+        if groups is None:
+            continue
+        entries.append((i, mol, groups))
+    results: Dict[int, list] = {}
+    if not entries:
+        return results
+
+    # bucket by padded size
+    buckets: Dict[int, list] = {}
+    for e in entries:
+        n_pad = -(-e[1].n_atoms // bucket) * bucket
+        buckets.setdefault(n_pad, []).append(e)
+
+    for n_pad, ents in buckets.items():
+        mols = [e[1] for e in ents]
+        lo, up, amask = padded_bounds(mols, n_pad)
+        m = len(mols)
+        gmat = np.zeros((m, k, n_pad), dtype=np.float32)
+        for mi, (_, mol, groups) in enumerate(ents):
+            for gi, atoms in enumerate(groups):
+                for a in atoms:
+                    gmat[mi, gi, a] = 1.0 / len(atoms)
+        rng, sub = jax.random.split(rng)
+        confs = embed_conformers_padded(
+            jnp.asarray(lo), jnp.asarray(up), jnp.asarray(amask),
+            n_conformers, sub, refine_steps=refine_steps,
+            groups=jnp.asarray(gmat),
+            targets=jnp.broadcast_to(jnp.asarray(targets_full), (m, k, k)),
+            group_mask=jnp.ones((m, k)),
+            centroid_weight=2.0,
+        )  # [M, C, Nb, 3]
+        confs = np.asarray(confs)
+        # batched Kabsch of feature centroids onto the pharmacophore
+        cents = np.einsum("mgn,mcnd->mcgd", gmat, confs)  # [M, C, K, 3]
+        flat = jnp.asarray(cents.reshape(m * n_conformers, k, 3))
+        tgt = jnp.broadcast_to(
+            jnp.asarray(pp_coords), (m * n_conformers, k, 3)
+        )
+        rs, ts = jax.vmap(kabsch)(flat, tgt)
+        aligned_cents = np.asarray(jax.vmap(apply_rigid)(rs, ts, flat))
+        errs = np.sqrt(
+            ((aligned_cents - np.asarray(tgt)) ** 2).sum(-1).mean(-1)
+        ).reshape(m, n_conformers)
+        rs = np.asarray(rs).reshape(m, n_conformers, 3, 3)
+        ts = np.asarray(ts).reshape(m, n_conformers, 3)
+        for mi, (idx, mol, _) in enumerate(ents):
+            order = np.argsort(errs[mi])[:num_keep]
+            res = []
+            for c in order:
+                coords = confs[mi, c, : mol.n_atoms] @ rs[mi, c].T + ts[mi, c]
+                res.append((float(errs[mi, c]), coords))
+            results[idx] = res
+    return results
+
+
 def align_smiles_list(
     smiles_list: Sequence[str],
     posp_path,
@@ -156,31 +241,44 @@ def align_smiles_list(
     tolerance: int = 0,
 ) -> Dict[str, float]:
     """Stage-4 CLI body (align.sh -> align_test_wrn.py): aligned SDFs +
-    rmsd_values.npy. Returns {smiles: best rmsd}."""
+    rmsd_values.npy. Returns {smiles: best rmsd}. Uses the batched
+    embedding path; ``tolerance`` retries unmatched molecules on point
+    subsets (align_test_wrn.py:340-347)."""
     rng = rng if rng is not None else jax.random.PRNGKey(0)
     out_dir = Path(out_dir)
     out_dir.mkdir(parents=True, exist_ok=True)
     pp_coords, pp_types = load_pp_points(posp_path)
+
+    rng, sub = jax.random.split(rng)
+    results = align_batch(
+        smiles_list, pp_coords, pp_types, sub,
+        n_conformers=n_conformers, num_keep=num_keep,
+    )
+    # tolerance fallback: retry unmatched molecules on reduced subsets
+    if tolerance > 0:
+        missing = [i for i in range(len(smiles_list)) if i not in results]
+        for keep in generate_subsets_with_tolerance(len(pp_types), tolerance):
+            if len(keep) == len(pp_types) or not missing:
+                continue
+            rng, sub = jax.random.split(rng)
+            part = align_batch(
+                [smiles_list[i] for i in missing],
+                pp_coords[keep], [pp_types[i] for i in keep], sub,
+                n_conformers=n_conformers, num_keep=num_keep,
+            )
+            for local_i, res in part.items():
+                results[missing[local_i]] = res
+            missing = [i for i in missing if i not in results]
+
     best: Dict[str, float] = {}
     rmsds = []
-    for i, smiles in enumerate(smiles_list):
-        rng, sub = jax.random.split(rng)
-        try:
-            res = align_molecule(
-                smiles, pp_coords, pp_types, sub,
-                n_conformers=n_conformers, num_keep=num_keep,
-                tolerance=tolerance,
-            )
-        except Exception:
-            res = None
-        if not res:
-            continue
+    for i, res in sorted(results.items()):
+        smiles = smiles_list[i]
         mol = mol_from_smiles(smiles)
         symbols = [a.symbol for a in mol.atoms]
         bonds = [(b.a1, b.a2, b.order) for b in mol.bonds]
         mols = [
-            (symbols, coords, f"{smiles} rmsd={e:.3f}")
-            for e, coords, _ in res
+            (symbols, coords, f"{smiles} rmsd={e:.3f}") for e, coords in res
         ]
         write_sdf(
             out_dir / f"mol_{i}.sdf", mols, bonds_list=[bonds] * len(mols)
