@@ -73,13 +73,17 @@ def match_score(smiles: str, pp_h, pp_e, pp_mask) -> float:
             for idx in phar_mapping[phar]:
                 phar_filter[idx].append(atoms)
 
-    # pairwise candidate distances, computed lazily with caching
+    # pairwise candidate distances via the precomputed all-pairs bond
+    # matrix (native chemops when built), cached per atom-set pair
+    from cmdgen_tpu.chem.native import all_pairs_bond_dist
+
+    dm = all_pairs_bond_dist(mol)
     dist_cache: Dict[Tuple[Tuple[int, ...], Tuple[int, ...]], float] = {}
 
     def cand_dist(a, b) -> float:
         key = (a, b) if a <= b else (b, a)
         if key not in dist_cache:
-            dist_cache[key] = group_dist(mol, key[0], key[1])
+            dist_cache[key] = group_dist(mol, key[0], key[1], dm)
         return dist_cache[key]
 
     groups = list(phar_mapping.values())

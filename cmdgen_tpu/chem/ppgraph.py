@@ -79,17 +79,22 @@ def bond_path_dist(mol: Mol, start: int, end: int) -> float:
     return dist
 
 
-def group_dist(mol: Mol, atoms_i, atoms_j) -> float:
-    """Feature-group distance (smiles2ppgraph.py:193-210)."""
+def group_dist(mol: Mol, atoms_i, atoms_j, dm=None) -> float:
+    """Feature-group distance (smiles2ppgraph.py:193-210).
+
+    ``dm`` is an optional precomputed all-pairs bond-distance matrix
+    (chem/native.py) — one BFS sweep per molecule instead of one per pair.
+    """
     set_i, set_j = set(atoms_i), set(atoms_j)
     max_size = max(len(set_i), len(set_j))
     if set_i == set_j:
         return 0.0
     if set_i & set_j:
         return max_size * 0.2
-    d = min(
-        bond_path_dist(mol, a, b) for a in set_i for b in set_j
-    )
+    if dm is not None:
+        d = float(min(dm[a, b] for a in set_i for b in set_j))
+    else:
+        d = min(bond_path_dist(mol, a, b) for a in set_i for b in set_j)
     if max_size == 1:
         return d
     return d + max_size * 0.2
@@ -129,11 +134,14 @@ def smiles_to_ppgraph(
             type_oh[i, t - 1] = 1.0
         size[i] = len(atoms)
 
+    from cmdgen_tpu.chem.native import all_pairs_bond_dist
+
+    dm = all_pairs_bond_dist(mol) if k > 1 else None
     dist = np.zeros((MAX_NUM_PP_GRAPHS, MAX_NUM_PP_GRAPHS), dtype=np.float32)
     for i in range(k):
         for j in range(i + 1, k):
-            dij = group_dist(mol, nodes[i][1], nodes[j][1])
-            dji = group_dist(mol, nodes[j][1], nodes[i][1])
+            dij = group_dist(mol, nodes[i][1], nodes[j][1], dm)
+            dji = group_dist(mol, nodes[j][1], nodes[i][1], dm)
             d = min(dij, dji)  # symmetrization (smiles2ppgraph.py:217-224)
             dist[i, j] = dist[j, i] = d
 
