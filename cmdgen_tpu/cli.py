@@ -67,9 +67,12 @@ def _add_train_diffphar(sub):
         if args.batch_size:
             tr = dataclasses.replace(tr, batch_size=args.batch_size)
         cfg = dataclasses.replace(cfg, train=tr)
+        from cmdgen_tpu.utils.logging import MetricsLogger
+
+        logger = MetricsLogger(args.out_dir, cfg.train.run_name)
         train_diffphar(
             cfg, args.datadir, args.out_dir, max_steps=args.max_steps,
-            log_fn=lambda s, m: print(s, json.dumps(m)),
+            log_fn=logger.log,
         )
 
     p.set_defaults(run=run)
@@ -214,10 +217,13 @@ def _add_train_gcpg(sub):
         )
         if args.score_only_gate:
             tcfg = dataclasses.replace(tcfg, condition_gate=FINETUNE_GATE)
+        from cmdgen_tpu.utils.logging import MetricsLogger
+
+        logger = MetricsLogger(args.out_dir, "gcpg")
         train_gcpg(
             GCPGModelConfig(), tcfg, smiles, props, args.out_dir,
             max_steps=args.max_steps, finetune_from=args.finetune_from,
-            log_fn=lambda s, m: print(s, json.dumps(m)),
+            log_fn=logger.log,
         )
 
     p.set_defaults(run=run)

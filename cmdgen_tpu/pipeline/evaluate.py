@@ -82,6 +82,47 @@ def eval_diffphar(
     }
 
 
+def eval_alignment_rmsd(
+    smiles_list: Sequence[str],
+    reference_coords: Sequence[np.ndarray],
+    posp_path,
+    rng=None,
+    n_conformers: int = 10,
+) -> Dict[str, float]:
+    """Aligned-conformer vs reference-pose RMSD
+    (PharAlign/align_ligandpharm_gcpg_test.py:339-562): align each molecule
+    onto the pharmacophore, then report the minimum heavy-atom RMSD between
+    the aligned conformers and the molecule's reference pose coordinates."""
+    import jax
+
+    from cmdgen_tpu.ops.kabsch import aligned_rmsd
+    from cmdgen_tpu.pipeline.align import align_batch, load_pp_points
+
+    rng = rng if rng is not None else jax.random.PRNGKey(0)
+    pp_coords, pp_types = load_pp_points(posp_path)
+    results = align_batch(
+        smiles_list, pp_coords, pp_types, rng, n_conformers=n_conformers,
+        num_keep=n_conformers,
+    )
+    rmsds = []
+    for i, res in results.items():
+        ref = np.asarray(reference_coords[i], dtype=np.float32)
+        best = np.inf
+        for _, conf in res:
+            if conf.shape != ref.shape:
+                continue
+            r = float(aligned_rmsd(jnp.asarray(conf), jnp.asarray(ref)))
+            best = min(best, r)
+        if np.isfinite(best):
+            rmsds.append(best)
+    return {
+        "rmsd_mean": float(np.mean(rmsds)) if rmsds else float("nan"),
+        "rmsd_median": float(np.median(rmsds)) if rmsds else float("nan"),
+        "n_aligned": len(rmsds),
+        "rmsd_values": rmsds,
+    }
+
+
 def eval_gcpg(
     model,
     params,
