@@ -120,6 +120,39 @@ def consensus_dbscan(
     return out
 
 
+def cluster_report(
+    coords: np.ndarray,
+    families: Sequence[str],
+    n_clusters: int = 7,
+    seed: int = 42,
+) -> List[Dict[str, object]]:
+    """Per-cluster frequency/probability report (GMM_json_indiv.py):
+    [{center, counts per family, probs per family, top_family}]."""
+    x = jnp.asarray(coords)
+    g = gmm_fit(jax.random.PRNGKey(seed), x, n_clusters)
+    resp = np.asarray(gmm_predict_proba(g, x))
+    labels = resp.argmax(axis=1)
+    fam_set = sorted(set(families))
+    report = []
+    for c in range(n_clusters):
+        counts = {f: 0 for f in fam_set}
+        probs = {f: 0.0 for f in fam_set}
+        for i, f in enumerate(families):
+            probs[f] += float(resp[i, c])
+            if labels[i] == c:
+                counts[f] += 1
+        top = max(fam_set, key=lambda f: probs[f])
+        report.append(
+            {
+                "center": np.asarray(g.means)[c].tolist(),
+                "counts": counts,
+                "probs": probs,
+                "top_family": top,
+            }
+        )
+    return report
+
+
 def write_consensus(path, consensus: List[Tuple[str, np.ndarray]]):
     types = [t for t, _ in consensus]
     centers = np.stack([c for _, c in consensus])

@@ -69,6 +69,7 @@ def sample_pharmacophores(
     nq, nf = pocket_onehot.shape
     out: Dict[str, Dict[str, List[List[float]]]] = {}
     pocket_com_before = pocket_coords.mean(axis=0)
+    joint_mode = not hasattr(model, "sample_given_pocket")
 
     done = 0
     while done < n_samples:
@@ -89,9 +90,24 @@ def sample_pharmacophores(
             nn = jnp.clip(nn, 1, n_phar_max)
         else:
             nn = jnp.asarray(num_nodes[done : done + b])
-        phar, pocket_out = model.sample_given_pocket(
-            params, k_samp, pocket, nn, n_phar_max, timesteps=timesteps
-        )
+        if joint_mode:
+            # joint model: generate by RePaint inpainting with the pocket
+            # fixed (lightning_modules.py:466-486)
+            phar_init = PointCloud(
+                x=jnp.zeros((b, n_phar_max, 3)),
+                h=jnp.zeros((b, n_phar_max, model.phar_nf)),
+                mask=mask_from_sizes(nn, n_phar_max),
+            )
+            phar, pocket_out = model.inpaint(
+                params, k_samp, phar_init, pocket,
+                phar_fixed=jnp.zeros_like(phar_init.mask),
+                pocket_fixed=jnp.ones_like(pocket.mask),
+                resamplings=1, jump_length=1, timesteps=timesteps,
+            )
+        else:
+            phar, pocket_out = model.sample_given_pocket(
+                params, k_samp, pocket, nn, n_phar_max, timesteps=timesteps
+            )
         # translate back into the original pocket frame
         pocket_com_after = np.asarray(
             masked_mean(pocket_out.x, pocket_out.mask)
