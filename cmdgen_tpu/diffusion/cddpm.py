@@ -417,6 +417,78 @@ class ConditionalDDPM:
         return phar_out, pocket_out
 
 
+def sample_chain_given_pocket(
+    model: "ConditionalDDPM",
+    params,
+    rng: jax.Array,
+    pocket: PointCloud,
+    num_nodes_phar: jnp.ndarray,
+    n_phar_max: int,
+    keep_frames: int = 100,
+    timesteps: Optional[int] = None,
+):
+    """Reverse-chain sampling that also returns intermediate frames for
+    visualization (the reference's return_frames/keep_frames path,
+    conditional_model.py:423-443 + visualize_chain). Returns
+    (phar, pocket_out, frames [F, B, N, 3] unnormalized x coordinates)."""
+    cfg = model.cfg
+    nd = cfg.n_dims
+    T = cfg.timesteps if timesteps is None else timesteps
+    b = pocket.batch
+    pocket_n = model.normalize(pocket)
+    phar_mask = mask_from_sizes(num_nodes_phar, n_phar_max)
+    k_init, k_scan, k_final = jax.random.split(rng, 3)
+    mu_x = jnp.broadcast_to(
+        masked_mean(pocket_n.x, pocket_n.mask)[:, None, :], (b, n_phar_max, nd)
+    )
+    mu = jnp.concatenate(
+        [mu_x, jnp.zeros((b, n_phar_max, model.phar_nf))], axis=-1
+    ) * phar_mask[..., None]
+    z_phar, xh_pocket = model._sample_normal_zero_com(
+        k_init, mu, pocket_n.xh, jnp.ones(()), phar_mask, pocket_n.mask
+    )
+
+    def step(carry, s):
+        z, xh_pkt, key = carry
+        key, sub = jax.random.split(key)
+        z, xh_pkt = model._denoise_step(
+            params, sub, z, xh_pkt, s.astype(jnp.float32),
+            (s + 1).astype(jnp.float32), phar_mask, pocket_n.mask,
+        )
+        return (z, xh_pkt, key), z[..., :nd]
+
+    (z_phar, xh_pocket, _), frames = jax.lax.scan(
+        step, (z_phar, xh_pocket, k_scan), jnp.arange(T - 1, -1, -1)
+    )
+    stride = max(T // keep_frames, 1)
+    frames = model.unnormalize_x(frames[::stride])
+    # final denoise like sample_given_pocket
+    gamma_0 = jnp.full((b,), model.gamma[0])
+    net_out, _ = model._apply(
+        params, z_phar, xh_pocket, jnp.zeros((b, 1)), phar_mask, pocket_n.mask
+    )
+    a0, s0 = sch.alpha(gamma_0), sch.sigma(gamma_0)
+    mu_final = (z_phar - _inflate(s0) * net_out) / _inflate(a0)
+    xh_phar, xh_pocket = model._sample_normal_zero_com(
+        k_final, mu_final, xh_pocket, sch.snr(-0.5 * gamma_0),
+        phar_mask, pocket_n.mask,
+    )
+    x_phar = model.unnormalize_x(xh_phar[..., :nd])
+    h_phar = jax.nn.one_hot(
+        jnp.argmax(model.unnormalize_h(z_phar[..., nd:]), axis=-1),
+        model.phar_nf,
+    )
+    phar_out = PointCloud(
+        x=x_phar, h=h_phar * phar_mask[..., None], mask=phar_mask
+    )
+    pocket_out = PointCloud(
+        x=model.unnormalize_x(xh_pocket[..., :nd]),
+        h=model.unnormalize_h(xh_pocket[..., nd:]),
+        mask=pocket_n.mask,
+    )
+    return phar_out, pocket_out, frames
+
+
 def _gaussian_kl(mu_norm2, q_sigma, p_sigma, d):
     """KL between diagonal normals (en_diffusion.py:833-848)."""
     return (

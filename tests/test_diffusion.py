@@ -163,3 +163,17 @@ def test_overfit_tiny_batch(model_and_params):
         if first is None:
             first = float(loss)
     assert float(loss) < first, (first, float(loss))
+
+
+def test_sample_chain_frames(model_and_params):
+    from cmdgen_tpu.diffusion.cddpm import sample_chain_given_pocket
+
+    model, params, phar, pocket = model_and_params
+    out_phar, out_pocket, frames = sample_chain_given_pocket(
+        model, params, jax.random.PRNGKey(11), pocket,
+        jnp.asarray([3, 4, 5]), NP_MAX, keep_frames=5,
+    )
+    assert frames.shape[1:] == (3, NP_MAX, 3)
+    assert frames.shape[0] >= 5
+    assert np.isfinite(np.asarray(frames)).all()
+    np.testing.assert_array_equal(np.asarray(out_phar.size), [3, 4, 5])
