@@ -123,3 +123,22 @@ def test_cli_help_and_getphar(tmp_path):
     assert out.exists()
     lines = out.read_text().strip().split("\n")
     assert len(lines) == 2
+
+
+def test_isomorphic_rmsd():
+    from cmdgen_tpu.chem.mol import mol_from_smiles
+    from cmdgen_tpu.chem.rmsd import isomorphic_rmsd
+    from cmdgen_tpu.ops.dgeom import embed_conformers
+
+    # benzene: naive atom-order RMSD vs a rotated-index copy is large,
+    # isomorphism matching must find the symmetry and report ~0
+    mol = mol_from_smiles("c1ccccc1")
+    conf = np.asarray(embed_conformers(mol, 1, jax.random.PRNGKey(0),
+                                       refine_steps=300))[0]
+    rolled = np.roll(conf, 2, axis=0)  # relabel atoms around the ring
+    naive = float(np.sqrt(((conf - rolled) ** 2).sum(-1).mean()))
+    matched = isomorphic_rmsd(mol, conf, mol, rolled)
+    assert matched is not None and matched < 1e-4 < naive
+    # different molecules -> None
+    other = mol_from_smiles("CCO")
+    assert isomorphic_rmsd(mol, conf, other, conf[:3]) is None
