@@ -22,7 +22,7 @@ conditions [MW, logP, QED, SAS, HBA, HBD, RotBonds]
 from __future__ import annotations
 
 import math
-from typing import Dict, List, Optional, Set, Tuple
+from typing import Dict, Optional, Set
 
 from cmdgen_tpu.chem.mol import Mol, mol_from_smiles
 

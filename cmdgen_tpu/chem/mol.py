@@ -22,7 +22,7 @@ from __future__ import annotations
 import dataclasses
 import random as _random
 import re
-from typing import Dict, List, Optional, Sequence, Tuple
+from typing import Dict, List, Optional, Tuple
 
 # Standard atomic weights (CRC), enough elements for drug-like molecules.
 ATOMIC_WEIGHTS = {

@@ -11,7 +11,7 @@ from __future__ import annotations
 
 import random as _random
 from pathlib import Path
-from typing import List, Optional, Tuple
+from typing import List, Optional
 
 import numpy as np
 

@@ -17,7 +17,7 @@ DGLGraph:
 from __future__ import annotations
 
 import random as _random
-from typing import List, Optional, Tuple
+from typing import Optional, Tuple
 
 import numpy as np
 

@@ -15,7 +15,6 @@ scalars.
 from __future__ import annotations
 
 import random as _random
-from pathlib import Path
 from typing import Dict, Iterator, List, Optional, Sequence, Tuple
 
 import numpy as np

@@ -14,7 +14,6 @@ lax.cond. No host round-trips.
 """
 from __future__ import annotations
 
-import dataclasses
 import math
 from typing import List, Optional, Tuple
 
@@ -27,7 +26,7 @@ from cmdgen_tpu.diffusion.cddpm import DDPMConfig, _gaussian_kl, _inflate
 from cmdgen_tpu.diffusion.size_prior import SizePrior
 from cmdgen_tpu.models.dynamics import EGNNDynamics
 from cmdgen_tpu.ops import schedules as sch
-from cmdgen_tpu.ops.masked import masked_mean, sum_except_batch
+from cmdgen_tpu.ops.masked import sum_except_batch
 
 
 def _remove_mean_joint(x_a, x_b, mask_a, mask_b):

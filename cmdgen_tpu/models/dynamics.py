@@ -11,7 +11,7 @@ per type. Velocity = coordinate displacement.
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional, Tuple
+from typing import Optional
 
 import flax.linen as nn
 import jax

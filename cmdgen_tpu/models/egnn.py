@@ -20,8 +20,6 @@ dynamics.py:141-147, same tanh-clamped coordinate updates).
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional
-
 import flax.linen as nn
 import jax
 import jax.numpy as jnp

@@ -18,8 +18,7 @@ The node-level MLPs (O(B·N·H²)) stay in XLA.
 """
 from __future__ import annotations
 
-import functools
-from typing import Optional, Tuple
+from typing import Optional
 
 import jax
 import jax.numpy as jnp

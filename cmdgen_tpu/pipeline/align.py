@@ -21,7 +21,6 @@ import numpy as np
 
 from cmdgen_tpu.chem.features import GCPG_MAPPING, get_features
 from cmdgen_tpu.chem.mol import Mol, mol_from_smiles
-from cmdgen_tpu.chem.posp import PHAR2IDX
 from cmdgen_tpu.chem.sdf import write_sdf
 from cmdgen_tpu.ops.dgeom import embed_conformers
 from cmdgen_tpu.ops.kabsch import apply_rigid, kabsch, rmsd

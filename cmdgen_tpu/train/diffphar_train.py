@@ -10,7 +10,6 @@ of rank-0-only.
 """
 from __future__ import annotations
 
-import dataclasses
 import time
 from pathlib import Path
 from typing import Callable, Dict, Optional

@@ -9,7 +9,6 @@ AdamW + cosine LR, and grad-norm clipping at 5.
 """
 from __future__ import annotations
 
-import dataclasses
 from typing import Dict, Iterator, Tuple
 
 import jax
