@@ -31,12 +31,14 @@ def make_smiles_dataset(n=400, seed=0):
         "CC", "CCC", "CCO", "CCN", "CC(C)", "CC=O", "CC(=O)O", "CC(=O)N",
         "c1ccccc1", "Cc1ccccc1", "OCC", "CCS", "CCCl", "CC(N)=O",
     ]
-    out = set()
-    while len(out) < n:
-        a, b = rng.choice(frags), rng.choice(frags)
-        s = a + b if rng.random() < 0.5 else a
-        from cmdgen_tpu.chem.mol import canonical_smiles
+    from cmdgen_tpu.chem.mol import canonical_smiles
 
+    out = set()
+    attempts = 0
+    while len(out) < n and attempts < 50 * n:
+        attempts += 1
+        k = rng.randint(1, 3)
+        s = "".join(rng.choice(frags) for _ in range(k))
         c = canonical_smiles(s)
         if c:
             out.add(c)

@@ -85,16 +85,34 @@ class DiffPharDataset:
 
     def iter_batches(
         self, batch_size: int, rng: np.random.RandomState, shuffle=True,
-        drop_last=True,
+        drop_last=True, bucket: Optional[int] = None,
     ) -> Iterator[dict]:
+        """``bucket``: round each batch's pocket padding up to a multiple of
+        this value instead of the global max — batches of small pockets then
+        cost less compute, at a bounded number of XLA shape specializations
+        (the padded-batch answer to ragged batching, SURVEY.md §7)."""
         order = np.arange(len(self))
         if shuffle:
             rng.shuffle(order)
-        for i in range(0, len(order), batch_size):
-            idx = order[i : i + batch_size]
-            if drop_last and len(idx) < batch_size:
-                break
-            yield self.padded_batch(idx)
+        if bucket:
+            sizes = np.array([len(x) for x in self.pocket_coords])
+            order = order[np.argsort(sizes[order], kind="stable")]
+        batches = [
+            order[i : i + batch_size]
+            for i in range(0, len(order), batch_size)
+            if not (drop_last and i + batch_size > len(order))
+        ]
+        if bucket and shuffle:
+            rng.shuffle(batches)
+        for idx in batches:
+            if bucket:
+                nq = max(len(self.pocket_coords[i]) for i in idx)
+                nq = min(-(-nq // bucket) * bucket, self.n_pocket_max)
+                np_b = max(len(self.phar_coords[i]) for i in idx)
+                np_b = min(-(-np_b // 4) * 4, self.n_phar_max)
+                yield self.padded_batch(idx, n_phar_max=np_b, n_pocket_max=nq)
+            else:
+                yield self.padded_batch(idx)
 
 
 def corrupt_tokens(

@@ -176,3 +176,17 @@ def test_gcpg_dataset_and_train_step():
         losses.append(float(metrics["loss"]))
         assert np.isfinite(losses[-1])
     assert losses[-1] < losses[0]
+
+
+def test_bucketed_batches(tiny_crossdocked):
+    out, _ = tiny_crossdocked
+    d = ds.DiffPharDataset(out / "train.npz")
+    rng = np.random.RandomState(0)
+    seen = 0
+    for b in d.iter_batches(2, rng, bucket=8):
+        assert b["pocket_x"].shape[1] % 8 == 0 or \
+            b["pocket_x"].shape[1] == d.n_pocket_max
+        # all valid nodes survive the bucketing
+        assert (b["pocket_mask"].sum(1) > 0).all()
+        seen += 1
+    assert seen == 2  # 5 train complexes, batch 2, drop_last
