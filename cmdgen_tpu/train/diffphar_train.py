@@ -139,9 +139,13 @@ def train_diffphar(
     np_rng = np.random.RandomState(cfg.train.seed)
     step = 0
     t0 = time.time()
+    from cmdgen_tpu.data.prefetch import prefetch
+
     with mesh:
         for epoch in range(cfg.train.n_epochs):
-            for batch in train_ds.iter_batches(cfg.train.batch_size, np_rng):
+            for batch in prefetch(
+                train_ds.iter_batches(cfg.train.batch_size, np_rng)
+            ):
                 phar, pocket = _to_clouds(batch)
                 phar = pmesh.shard_batch(phar, mesh)
                 pocket = pmesh.shard_batch(pocket, mesh)

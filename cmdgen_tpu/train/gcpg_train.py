@@ -188,12 +188,14 @@ def train_gcpg(
         )
     opt_state = optimizer.init(params)
 
+    from cmdgen_tpu.data.prefetch import prefetch
+
     beta_it = default_beta_schedule(train_cfg)
     step = 0
     for epoch in range(train_cfg.n_epochs):
         beta = next(beta_it)
         losses = []
-        for batch in data.iter_batches(train_cfg.batch_size):
+        for batch in prefetch(data.iter_batches(train_cfg.batch_size)):
             jb = {k: jnp.asarray(v) for k, v in batch.items()}
             rng, sub = jax.random.split(rng)
             params, opt_state, metrics = step_fn(

@@ -190,3 +190,19 @@ def test_bucketed_batches(tiny_crossdocked):
         assert (b["pocket_mask"].sum(1) > 0).all()
         seen += 1
     assert seen == 2  # 5 train complexes, batch 2, drop_last
+
+
+def test_prefetch_iterator():
+    from cmdgen_tpu.data.prefetch import prefetch
+
+    out = list(prefetch(iter(range(10)), buffer_size=2))
+    assert out == list(range(10))
+
+    def boom():
+        yield 1
+        raise ValueError("x")
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        list(prefetch(boom()))
