@@ -226,6 +226,13 @@ class GCPGSmilesDataset:
         items = [x for x in items if x is not None]
         if not items:
             return None
+        # keep the batch dimension static (XLA recompiles on shape changes):
+        # fill slots lost to invalid molecules by cycling the valid items
+        valid_items = list(items)
+        k = 0
+        while len(items) < len(idx):
+            items.append(valid_items[k % len(valid_items)])
+            k += 1
         b = len(items)
         s = self.max_len
         pad = self.tokenizer.PAD
