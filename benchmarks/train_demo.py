@@ -45,7 +45,7 @@ def make_smiles_dataset(n=400, seed=0):
     return sorted(out)
 
 
-def gcpg_demo(max_epochs=20, quick=False):
+def gcpg_demo(max_epochs=60, quick=False):
     from cmdgen_tpu.chem.metrics import validity
     from cmdgen_tpu.chem.ppgraph import smiles_to_ppgraph
     from cmdgen_tpu.config import GCPGModelConfig, GCPGTrainConfig
@@ -57,8 +57,9 @@ def gcpg_demo(max_epochs=20, quick=False):
         max_len=48, hidden_dim=128, n_layers=3, ff_dim=256, n_head=4,
         pp_encoder_n_layer=2, dropout=0.1,
     )
+    n_epochs = 4 if quick else max_epochs
     tcfg = GCPGTrainConfig(
-        batch_size=64, n_epochs=4 if quick else max_epochs, lr=1e-3,
+        batch_size=64, n_epochs=n_epochs, lr=1e-3, cosine_t_max=n_epochs,
     )
     with tempfile.TemporaryDirectory() as tmp:
         t0 = time.time()
