@@ -142,6 +142,7 @@ class GCPGTrainConfig:
     # (train_chembl33_baseline.py:151-157); docking finetune flips to
     # score-only (finetune_docking_epoch1.py:154)
     condition_gate: Tuple[int, ...] = (1, 1, 1, 1, 1, 0, 0)
+    save_freq: int = 4  # checkpoint every N epochs (train_chembl33_baseline.py:601)
     seed: int = 42
 
 

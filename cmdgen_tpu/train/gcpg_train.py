@@ -209,6 +209,11 @@ def train_gcpg(
                 break
         mean_loss = float(np.mean(losses)) if losses else float("nan")
         log_fn(step, {"epoch": epoch, "beta": beta, "loss/train": mean_loss})
+        last_epoch = epoch == train_cfg.n_epochs - 1 or (
+            max_steps is not None and step >= max_steps
+        )
+        if epoch % train_cfg.save_freq != 0 and not last_epoch:
+            continue
         ckpt.save_checkpoint(
             out_dir, {"params": params, "opt_state": opt_state},
             step=step,
