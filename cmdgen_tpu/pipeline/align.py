@@ -83,6 +83,10 @@ def match_features_to_points(
                 return None
         used.add(pick)
         chosen.append(pick)
+    # a rigid alignment needs at least two geometrically distinct anchors;
+    # e.g. AROM + LHYBL of the same ring share a centroid and degenerate
+    if len(set(chosen)) < 2:
+        return None
     return chosen
 
 
