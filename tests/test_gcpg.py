@@ -157,3 +157,20 @@ def test_overfit_lm_loss(model_setup):
         p, opt_state, loss = step(p, opt_state, key)
         losses.append(float(loss))
     assert losses[-1] < losses[0] * 0.8, losses[:3] + losses[-3:]
+
+
+def test_posterior_memory_generation(model_setup):
+    """The ag_forward path: posterior-conditioned memory drives generation
+    (reference gcpg.py:292-305)."""
+    model, params, (inputs, iv, pp_h, pp_e, pp_mask, targets, conds) = model_setup
+    mem, mem_valid, kl = model.apply(
+        params, jax.random.PRNGKey(8), inputs, iv, pp_h, pp_e, pp_mask,
+        conds, method=GCPG.posterior_memory,
+    )
+    assert mem.shape == (4, 1 + 8 + 1, 32)
+    assert float(kl) >= 0
+    toks = gcpg_mod.generate(
+        model, params, jax.random.PRNGKey(9), pp_h, pp_e, pp_mask, conds,
+        random_sample=False, memory=(mem, mem_valid),
+    )
+    assert toks.shape == (4, CFG.max_len - 1)
