@@ -149,4 +149,30 @@ def process_dataset(
         n2 = np.array([len(c["pocket_c_alpha"]) for c in by_split["train"]])
         hist = smoothed_size_histogram(n1, n2, sigma=1.0)
         np.save(out_dir / "size_distribution.npy", hist)
+        # per-class type histograms (process_crossdock.py:185-196)
+        import json
+
+        from cmdgen_tpu.chem.constants import DATASET_PARAMS, PHAR_DECODER
+
+        params = DATASET_PARAMS[dataset]
+        phar_counts = np.zeros(len(PHAR_DECODER), dtype=np.int64)
+        aa_decoder = params.get(
+            "aa_decoder", params.get("atom_decoder", [])
+        )
+        aa_counts = np.zeros(len(aa_decoder), dtype=np.int64)
+        for c in by_split["train"]:
+            phar_counts += np.bincount(
+                c["phar_one_hot"].argmax(1), minlength=len(PHAR_DECODER)
+            )
+            aa_counts += np.bincount(
+                c["pocket_one_hot"].argmax(1), minlength=len(aa_decoder)
+            )
+        (out_dir / "type_histograms.json").write_text(
+            json.dumps(
+                {
+                    "phar_hist": dict(zip(PHAR_DECODER, phar_counts.tolist())),
+                    "aa_hist": dict(zip(aa_decoder, aa_counts.tolist())),
+                }
+            )
+        )
     return {"n_failed": n_failed, "splits": {k: len(v) for k, v in by_split.items()}}

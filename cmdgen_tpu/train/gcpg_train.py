@@ -136,6 +136,8 @@ def train_gcpg(
     max_steps=None,
     finetune_from=None,
     log_fn=lambda step, m: None,
+    gen_eval_every: int = 0,  # epochs between in-training generation evals
+    gen_eval_n: int = 32,
 ):
     """Full GCPG training loop (train_chembl33_baseline.py __main__ body;
     with ``finetune_from`` + the score-only gate it becomes the docking
@@ -209,6 +211,18 @@ def train_gcpg(
                 break
         mean_loss = float(np.mean(losses)) if losses else float("nan")
         log_fn(step, {"epoch": epoch, "beta": beta, "loss/train": mean_loss})
+        if gen_eval_every and (epoch + 1) % gen_eval_every == 0:
+            # in-training generation quality (train_chembl33_baseline.py:319)
+            from cmdgen_tpu.pipeline.evaluate import eval_gcpg
+
+            rng, k_eval = jax.random.split(rng)
+            ev = eval_gcpg(
+                model, params, tokenizer, k_eval,
+                val_smiles or smiles_list, n_molecules=gen_eval_n,
+                match_workers=1,
+            )
+            log_fn(step, {f"gen/{k}": v for k, v in ev.items()
+                          if isinstance(v, (int, float))})
         last_epoch = epoch == train_cfg.n_epochs - 1 or (
             max_steps is not None and step >= max_steps
         )
