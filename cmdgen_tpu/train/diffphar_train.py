@@ -163,6 +163,19 @@ def train_diffphar(
             )
             log_fn(step, {"loss/val": val_loss, "epoch": epoch,
                           "elapsed_s": time.time() - t0})
+            if (
+                cfg.train.eval_epochs
+                and (epoch + 1) % cfg.train.eval_epochs == 0
+                and hasattr(model, "sample_given_pocket")
+            ):
+                # eval-epoch sampling + type-KL (lightning_modules.py:289-382)
+                rng, k_samp = jax.random.split(rng)
+                sm = sampling_metrics(
+                    model, state.params, val_ds, k_samp,
+                    n_samples=min(cfg.train.n_eval_samples, 16),
+                    dataset_name=cfg.data.dataset,
+                )
+                log_fn(step, {f"sampling/{k}": v for k, v in sm.items()})
             ckpt.save_checkpoint(
                 out_dir, {"params": state.params, "opt_state": state.opt_state},
                 step=step, config=cfgmod.to_dict(cfg), monitor_value=val_loss,
