@@ -42,7 +42,7 @@ def main():
     apply_fn = make_pallas_apply(dyn_cfg) if use_pallas else None
     model = ConditionalDDPM(cfg.ddpm, dynamics, apply_fn=apply_fn)
 
-    b, n_p, n_q = 64, 8, 110
+    b, n_p, n_q = 48, 8, 110
     t_steps = 100  # timed slice of the T=500 chain (steps/sec is invariant)
     rng = jax.random.PRNGKey(0)
     k1, k2, k3 = jax.random.split(rng, 3)
