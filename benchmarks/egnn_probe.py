@@ -1,0 +1,131 @@
+"""Probe: EGNN denoise-sampling throughput — dense vs neighbor-list modes.
+
+Times the same reverse-chain sampling loop as bench.py across engine modes,
+neighbor widths K, and batch sizes, on realistic CA-pocket geometry (shell
+r in [8,14] Angstrom around the site, min CA-CA separation 3.8 Angstrom, one CA per
+~85 A^3 — matching folded-protein density, unlike a Gaussian blob which is
+~7x too dense and defeats the 6 A cutoff).
+
+Usage: python benchmarks/egnn_probe.py [--quick]
+"""
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def realistic_ca_pocket(rng: np.random.RandomState, n: int,
+                        r_lo=8.0, r_hi=14.0, min_sep=3.8) -> np.ndarray:
+    """n CA positions in a shell around the binding site, Poisson-disk-ish."""
+    pts = []
+    while len(pts) < n:
+        v = rng.randn(3)
+        v /= np.linalg.norm(v) + 1e-9
+        r = (r_lo**3 + rng.rand() * (r_hi**3 - r_lo**3)) ** (1 / 3)
+        p = v * r
+        if pts and np.min(np.linalg.norm(np.array(pts) - p, axis=1)) < min_sep:
+            continue
+        pts.append(p)
+    return np.array(pts, dtype=np.float32)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--quick", action="store_true")
+    ap.add_argument("--modes", default="dense,nb16,nb24,nb32,nb48")
+    ap.add_argument("--batches", default="48,128,256")
+    ap.add_argument("--t-steps", type=int, default=50)
+    args = ap.parse_args()
+
+    from cmdgen_tpu.config import ca_config
+    from cmdgen_tpu.containers import PointCloud, mask_from_sizes
+    from cmdgen_tpu.diffusion.cddpm import ConditionalDDPM
+    from cmdgen_tpu.models.dynamics import EGNNDynamics
+
+    base = ca_config()
+    n_p, n_q = 8, 110
+    t_steps = 10 if args.quick else args.t_steps
+    rngnp = np.random.RandomState(0)
+
+    batches = [int(b) for b in args.batches.split(",")]
+    if args.quick:
+        batches = batches[:1]
+
+    # neighbor-count statistics for the geometry (sanity for K choice)
+    pk = realistic_ca_pocket(rngnp, n_q)
+    ph = rngnp.randn(n_p, 3).astype(np.float32) * 2.0
+    allpts = np.concatenate([ph, pk])
+    d2 = ((allpts[:, None] - allpts[None]) ** 2).sum(-1)
+    counts = (d2 <= 36.0).sum(-1)
+    print(f"# neighbor counts @6A: mean={counts.mean():.1f} max={counts.max()}")
+
+    for mode in args.modes.split(","):
+        if mode == "dense":
+            egnn = dataclasses.replace(
+                base.dynamics.egnn, compute_dtype=jnp.bfloat16
+            )
+        else:
+            k = int(mode[2:])
+            egnn = dataclasses.replace(
+                base.dynamics.egnn, compute_dtype=jnp.bfloat16, neighbor_k=k
+            )
+        dyn_cfg = dataclasses.replace(base.dynamics, egnn=egnn)
+        dynamics = EGNNDynamics(dyn_cfg)
+        model = ConditionalDDPM(base.ddpm, dynamics)
+        for b in batches:
+            rng = jax.random.PRNGKey(0)
+            k1, k2, k3 = jax.random.split(rng, 3)
+            pockets = np.stack(
+                [realistic_ca_pocket(np.random.RandomState(i), n_q)
+                 for i in range(min(b, 8))]
+            )
+            pockets = np.tile(pockets, (b // len(pockets) + 1, 1, 1))[:b]
+            pocket = PointCloud(
+                x=jnp.asarray(pockets),
+                h=jax.nn.one_hot(
+                    jax.random.randint(k2, (b, n_q), 0, dyn_cfg.residue_nf),
+                    dyn_cfg.residue_nf,
+                ),
+                mask=mask_from_sizes(jnp.full((b,), n_q), n_q),
+            )
+            params = dynamics.init(
+                k3,
+                jnp.zeros((b, n_p, 3 + dyn_cfg.phar_nf)),
+                pocket.xh,
+                jnp.zeros((b, 1)),
+                jnp.ones((b, n_p)),
+                pocket.mask,
+            )
+            num_nodes = jnp.full((b,), n_p)
+            sample = jax.jit(
+                lambda params, r: model.sample_given_pocket(
+                    params, r, pocket, num_nodes, n_p, timesteps=t_steps
+                )
+            )
+            out = sample(params, jax.random.PRNGKey(1))
+            jax.block_until_ready(out)
+            times = []
+            for i in range(3):
+                t0 = time.perf_counter()
+                out = sample(params, jax.random.PRNGKey(2 + i))
+                jax.block_until_ready(out)
+                times.append(time.perf_counter() - t0)
+            dt = min(times)
+            sps = b * t_steps / dt
+            print(
+                f"mode={mode:<6} B={b:<4} {dt*1e3/t_steps:7.2f} ms/batch-step"
+                f"  {sps:10.0f} denoise steps/s"
+            )
+
+
+if __name__ == "__main__":
+    main()

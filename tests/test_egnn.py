@@ -133,3 +133,69 @@ def test_edge_cutoff_limits_influence():
     eps_p1, _ = model.apply(params, xh_p, far, t, m_p, m_q)
     eps_p2, _ = model.apply(params, xh_p, far_feat, t, m_p, m_q)
     np.testing.assert_allclose(np.asarray(eps_p1), np.asarray(eps_p2), atol=1e-5)
+
+
+def test_neighbor_list_parity_with_dense(setup):
+    """neighbor_k >= max neighbor count => exactly the dense computation."""
+    import dataclasses
+
+    model, params, h, x, mask, edge_mask, rng = setup
+    # cutoff adjacency so rows have varying (but < K) neighbor counts
+    d2 = jnp.sum((x[:, :, None] - x[:, None]) ** 2, axis=-1)
+    em = edge_mask * (d2 <= 2.0).astype(edge_mask.dtype)
+    max_nb = int(jnp.max(jnp.sum(em, axis=-1)))
+    k = max_nb + 2
+    assert k < x.shape[1]
+    dense_model = EGNN(SMALL, out_node_nf=h.shape[-1])
+    nb_model = EGNN(
+        dataclasses.replace(SMALL, neighbor_k=k), out_node_nf=h.shape[-1]
+    )
+    h1, x1 = dense_model.apply(params, h, x, em, mask)
+    h2, x2 = nb_model.apply(params, h, x, em, mask)
+    np.testing.assert_allclose(np.asarray(h1), np.asarray(h2), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(x1), np.asarray(x2), atol=1e-5)
+
+
+def test_neighbor_list_overflow_keeps_nearest(setup):
+    """k smaller than true neighbor counts: still finite, equivariant, and
+    the kept edges are the k nearest (spot-checked via build_neighbor_list)."""
+    import dataclasses
+
+    from cmdgen_tpu.models.egnn import build_neighbor_list
+
+    model, params, h, x, mask, edge_mask, rng = setup
+    k = 4
+    idx, kmask = build_neighbor_list(x, edge_mask, k)
+    d2 = np.asarray(jnp.sum((x[:, :, None] - x[:, None]) ** 2, axis=-1))
+    em = np.asarray(edge_mask)
+    for b in range(x.shape[0]):
+        for i in range(x.shape[1]):
+            if em[b, i].sum() == 0:
+                continue
+            valid_d = np.where(em[b, i] > 0, d2[b, i], np.inf)
+            want = set(np.argsort(valid_d, kind="stable")[: min(k, int(em[b, i].sum()))])
+            got = set(np.asarray(idx[b, i])[np.asarray(kmask[b, i]) > 0])
+            assert got == want, (b, i, got, want)
+    nb_model = EGNN(
+        dataclasses.replace(SMALL, neighbor_k=k), out_node_nf=h.shape[-1]
+    )
+    h2, x2 = nb_model.apply(params, h, x, edge_mask, mask)
+    assert np.isfinite(np.asarray(h2)).all() and np.isfinite(np.asarray(x2)).all()
+
+
+def test_neighbor_list_equivariance(setup):
+    import dataclasses
+
+    model, params, h, x, mask, edge_mask, rng = setup
+    nb_model = EGNN(
+        dataclasses.replace(SMALL, neighbor_k=6), out_node_nf=h.shape[-1]
+    )
+    R = _rand_rotation(rng)
+    t = jnp.asarray(rng.randn(3), dtype=jnp.float32)
+    h1, x1 = nb_model.apply(params, h, x, edge_mask, mask)
+    h2, x2 = nb_model.apply(params, h, x @ R.T + t, edge_mask, mask)
+    np.testing.assert_allclose(np.asarray(h1), np.asarray(h2), atol=2e-4)
+    want = (x1 @ R.T + t) * mask[..., None]
+    np.testing.assert_allclose(
+        np.asarray(x2 * mask[..., None]), np.asarray(want), atol=2e-4
+    )
