@@ -27,6 +27,7 @@ import jax
 import jax.numpy as jnp
 
 from cmdgen_tpu.containers import PointCloud, mask_from_sizes
+from cmdgen_tpu.diffusion.gamma_net import GammaNetwork
 from cmdgen_tpu.diffusion.size_prior import SizePrior
 from cmdgen_tpu.models.dynamics import EGNNDynamics
 from cmdgen_tpu.ops import schedules as sch
@@ -72,10 +73,34 @@ class ConditionalDDPM:
         # path from models.dynamics.make_pallas_apply); same signature as
         # dynamics.apply
         self._apply = apply_fn if apply_fn is not None else dynamics.apply
-        self.gamma = sch.gamma_table(
-            cfg.noise_schedule, cfg.timesteps, cfg.noise_precision
-        )
+        if cfg.noise_schedule == "learned":
+            # learned monotone gamma(t), trained through the vlb
+            # (en_diffusion.py:29-41: 'learned' requires loss_type 'vlb')
+            assert cfg.loss_type == "vlb", (
+                "noise_schedule='learned' requires loss_type='vlb'"
+            )
+            self.gamma_net: Optional[GammaNetwork] = GammaNetwork()
+            self.gamma = None
+        else:
+            self.gamma_net = None
+            self.gamma = sch.gamma_table(
+                cfg.noise_schedule, cfg.timesteps, cfg.noise_precision
+            )
         self.phar_nf = dynamics.cfg.phar_nf
+
+    def init_extra_params(self, rng: jax.Array, params):
+        """Merge learned-schedule params into freshly-initialized dynamics
+        variables (no-op for predefined schedules). The gamma-net subtree
+        lives under params['params']['gamma_net'], alongside the dynamics
+        modules, so one optimizer trains both — the flax apply of the
+        dynamics simply never reads it."""
+        if self.gamma_net is None:
+            return params
+        gp = self.gamma_net.init(rng, jnp.zeros((1, 1)))["params"]
+        params = dict(params)
+        params["params"] = dict(params["params"])
+        params["params"]["gamma_net"] = gp
+        return params
 
     # ---------------------------------------------------------------- utils
 
@@ -106,8 +131,25 @@ class ConditionalDDPM:
             return remove_mean_conditional(x_phar, x_pocket, mask_phar, mask_pocket)
         return x_phar * mask_phar[..., None], x_pocket * mask_pocket[..., None]
 
-    def _gamma_at_int(self, t_int: jnp.ndarray) -> jnp.ndarray:
-        return self.gamma[jnp.clip(t_int.astype(jnp.int32), 0, self.cfg.timesteps)]
+    def _gamma_t_norm(self, params, t_norm) -> jnp.ndarray:
+        """gamma at normalized time t in [0, 1] (clamped), any shape."""
+        t = jnp.clip(jnp.asarray(t_norm, jnp.float32), 0.0, 1.0)
+        if self.gamma_net is None:
+            return sch.gamma_at(self.gamma, t)
+        g = self.gamma_net.apply(
+            {"params": params["params"]["gamma_net"]},
+            jnp.reshape(t, (-1, 1)),
+        )
+        return jnp.reshape(g, t.shape)
+
+    def _gamma_at_int(self, params, t_int: jnp.ndarray) -> jnp.ndarray:
+        return self._gamma_t_norm(params, t_int / self.cfg.timesteps)
+
+    def _gamma0(self, params) -> jnp.ndarray:
+        return self._gamma_t_norm(params, jnp.zeros(()))
+
+    def _gammaT(self, params) -> jnp.ndarray:
+        return self._gamma_t_norm(params, jnp.ones(()))
 
     # ----------------------------------------------------------------- loss
 
@@ -149,8 +191,8 @@ class ConditionalDDPM:
         t_is_zero = (t_int == 0).astype(jnp.float32)
         t_is_not_zero = 1.0 - t_is_zero
 
-        gamma_s = self._gamma_at_int(s_int)  # [B]; s=-1 never used at t=0
-        gamma_t = self._gamma_at_int(t_int)
+        gamma_s = self._gamma_at_int(params, s_int)  # [B]; s=-1 never used at t=0
+        gamma_t = self._gamma_at_int(params, t_int)
 
         # center input on pharmacophore CoM
         x_phar_c, x_pocket_c = self._center(
@@ -178,13 +220,13 @@ class ConditionalDDPM:
         snr_weight = 1.0 - sch.snr(gamma_s - gamma_t)  # negative, by design
 
         # constants of the L0 cross-entropy term (en_diffusion.py:170-180)
-        gamma_0_scalar = self.gamma[0]
+        gamma_0_scalar = self._gamma0(params)
         d_x = self.subspace_dim(n_phar)
         neg_log_constants = -d_x * (
             -0.5 * gamma_0_scalar - 0.5 * math.log(2 * math.pi)
         )
 
-        kl_prior = self._kl_prior(xh0_phar, phar.mask, n_phar)
+        kl_prior = self._kl_prior(params, xh0_phar, phar.mask, n_phar)
 
         if training:
             loss0_x, loss0_h = self._neg_log_pxh_given_z0(
@@ -195,7 +237,7 @@ class ConditionalDDPM:
             error_t = error_t * t_is_not_zero
         else:
             # second forward pass at t=0 for a lower-variance L0 estimate
-            gamma_0 = jnp.full((b,), self.gamma[0])
+            gamma_0 = jnp.broadcast_to(self._gamma0(params), (b,))
             a0, s0 = sch.alpha(gamma_0), sch.sigma(gamma_0)
             eps0 = jax.random.normal(k_eps0, xh0_phar.shape) * phar.mask[..., None]
             z_0 = _inflate(a0) * xh0_phar + _inflate(s0) * eps0
@@ -245,11 +287,11 @@ class ConditionalDDPM:
         }
         return nll, info
 
-    def _kl_prior(self, xh0_phar, mask_phar, n_phar):
+    def _kl_prior(self, params, xh0_phar, mask_phar, n_phar):
         """KL(q(z_T | x) || N(0, I)) (conditional_model.py:20-57)."""
         cfg = self.cfg
         nd = cfg.n_dims
-        gamma_T = self.gamma[-1]
+        gamma_T = self._gammaT(params)
         alpha_T = sch.alpha(gamma_T)
         sigma_T = sch.sigma(gamma_T)
         mu_T = alpha_T * xh0_phar
@@ -293,8 +335,8 @@ class ConditionalDDPM:
         cfg = self.cfg
         nd = cfg.n_dims
         b = z_phar.shape[0]
-        gamma_s = jnp.full((b,), self._gamma_at_int(s_int))
-        gamma_t = jnp.full((b,), self._gamma_at_int(t_int))
+        gamma_s = jnp.broadcast_to(self._gamma_at_int(params, s_int), (b,))
+        gamma_t = jnp.broadcast_to(self._gamma_at_int(params, t_int), (b,))
         sigma2_ts, sigma_ts, alpha_ts = sch.sigma_and_alpha_t_given_s(
             gamma_t, gamma_s
         )
@@ -387,7 +429,7 @@ class ConditionalDDPM:
         )
 
         # final p(x, h | z0) (conditional_model.py:110-135)
-        gamma_0 = jnp.full((b,), self.gamma[0])
+        gamma_0 = jnp.broadcast_to(self._gamma0(params), (b,))
         sigma_x = sch.snr(-0.5 * gamma_0)
         t_zeros = jnp.zeros((b, 1))
         net_out, _ = self._apply(
@@ -463,7 +505,7 @@ def sample_chain_given_pocket(
     stride = max(T // keep_frames, 1)
     frames = model.unnormalize_x(frames[::stride])
     # final denoise like sample_given_pocket
-    gamma_0 = jnp.full((b,), model.gamma[0])
+    gamma_0 = jnp.broadcast_to(model._gamma0(params), (b,))
     net_out, _ = model._apply(
         params, z_phar, xh_pocket, jnp.zeros((b, 1)), phar_mask, pocket_n.mask
     )

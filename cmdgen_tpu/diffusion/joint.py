@@ -22,7 +22,13 @@ import jax.numpy as jnp
 import numpy as np
 
 from cmdgen_tpu.containers import PointCloud, mask_from_sizes
-from cmdgen_tpu.diffusion.cddpm import DDPMConfig, _gaussian_kl, _inflate
+from cmdgen_tpu.diffusion.cddpm import (
+    ConditionalDDPM,
+    DDPMConfig,
+    _gaussian_kl,
+    _inflate,
+)
+from cmdgen_tpu.diffusion.gamma_net import GammaNetwork
 from cmdgen_tpu.diffusion.size_prior import SizePrior
 from cmdgen_tpu.models.dynamics import EGNNDynamics
 from cmdgen_tpu.ops import schedules as sch
@@ -101,11 +107,27 @@ class JointDDPM:
         self.dynamics = dynamics
         self.size_prior = size_prior
         self._apply = apply_fn if apply_fn is not None else dynamics.apply
-        self.gamma = sch.gamma_table(
-            cfg.noise_schedule, cfg.timesteps, cfg.noise_precision
-        )
+        if cfg.noise_schedule == "learned":
+            # learned monotone gamma(t), trained through the vlb
+            # (en_diffusion.py:29-41)
+            assert cfg.loss_type == "vlb", (
+                "noise_schedule='learned' requires loss_type='vlb'"
+            )
+            self.gamma_net = GammaNetwork()
+            self.gamma = None
+        else:
+            self.gamma_net = None
+            self.gamma = sch.gamma_table(
+                cfg.noise_schedule, cfg.timesteps, cfg.noise_precision
+            )
         self.phar_nf = dynamics.cfg.phar_nf
         self.residue_nf = dynamics.cfg.residue_nf
+
+    # same learned-schedule plumbing as ConditionalDDPM (cddpm.py)
+    init_extra_params = ConditionalDDPM.init_extra_params
+    _gamma_t_norm = ConditionalDDPM._gamma_t_norm
+    _gamma0 = ConditionalDDPM._gamma0
+    _gammaT = ConditionalDDPM._gammaT
 
     # ---------------------------------------------------------------- utils
 
@@ -118,8 +140,8 @@ class JointDDPM:
     def unnormalize_x(self, x):
         return x * self.cfg.norm_x
 
-    def _gamma_at_int(self, t_int):
-        return self.gamma[jnp.clip(t_int.astype(jnp.int32), 0, self.cfg.timesteps)]
+    def _gamma_at_int(self, params, t_int):
+        return self._gamma_t_norm(params, t_int / self.cfg.timesteps)
 
     def subspace_dim(self, n_total):
         return (n_total - 1.0) * self.cfg.n_dims
@@ -165,8 +187,8 @@ class JointDDPM:
             jnp.float32
         )
         t_is_zero = (t_int == 0).astype(jnp.float32)
-        gamma_s = self._gamma_at_int(t_int - 1.0)
-        gamma_t = self._gamma_at_int(t_int)
+        gamma_s = self._gamma_at_int(params, t_int - 1.0)
+        gamma_t = self._gamma_at_int(params, t_int)
 
         xh_phar = phar.xh
         xh_pocket = pocket.xh
@@ -185,13 +207,14 @@ class JointDDPM:
         error_t_pocket = sum_except_batch((eps_q - net_q) ** 2, pocket.mask)
         snr_weight = 1.0 - sch.snr(gamma_s - gamma_t)
 
-        gamma_0_scalar = self.gamma[0]
+        gamma_0_scalar = self._gamma0(params)
         d_x = self.subspace_dim(n_total)
         neg_log_constants = -d_x * (
             -0.5 * gamma_0_scalar - 0.5 * math.log(2 * math.pi)
         )
 
         kl_prior = self._kl_prior_with_pocket(
+            params,
             xh_phar, xh_pocket, phar.mask, pocket.mask, n_total
         )
 
@@ -234,9 +257,9 @@ class JointDDPM:
         }
         return nll, info
 
-    def _kl_prior_with_pocket(self, xh_p, xh_q, mask_p, mask_q, n_total):
+    def _kl_prior_with_pocket(self, params, xh_p, xh_q, mask_p, mask_q, n_total):
         nd = self.cfg.n_dims
-        gamma_T = self.gamma[-1]
+        gamma_T = self._gammaT(params)
         alpha_T, sigma_T = sch.alpha(gamma_T), sch.sigma(gamma_T)
         mu_p, mu_q = alpha_T * xh_p, alpha_T * xh_q
         mu2_h = sum_except_batch(mu_p[..., nd:] ** 2, mask_p) + sum_except_batch(
@@ -286,8 +309,8 @@ class JointDDPM:
         cfg = self.cfg
         nd = cfg.n_dims
         b = z_p.shape[0]
-        gamma_s = jnp.full((b,), self._gamma_at_int(s_int))
-        gamma_t = jnp.full((b,), self._gamma_at_int(t_int))
+        gamma_s = jnp.broadcast_to(self._gamma_at_int(params, s_int), (b,))
+        gamma_t = jnp.broadcast_to(self._gamma_at_int(params, t_int), (b,))
         s2_ts, s_ts, a_ts = sch.sigma_and_alpha_t_given_s(gamma_t, gamma_s)
         sigma_s, sigma_t = sch.sigma(gamma_s), sch.sigma(gamma_t)
 
@@ -304,8 +327,8 @@ class JointDDPM:
     def _renoise_step(self, params, rng, z_p, z_q, s_int, t_int, mask_p, mask_q):
         """q(z_t | z_s) jump for RePaint resampling (en_diffusion.py:457-497)."""
         b = z_p.shape[0]
-        gamma_s = jnp.full((b,), self._gamma_at_int(s_int))
-        gamma_t = jnp.full((b,), self._gamma_at_int(t_int))
+        gamma_s = jnp.broadcast_to(self._gamma_at_int(params, s_int), (b,))
+        gamma_t = jnp.broadcast_to(self._gamma_at_int(params, t_int), (b,))
         s2_ts, s_ts, a_ts = sch.sigma_and_alpha_t_given_s(gamma_t, gamma_s)
         mu_p = _inflate(a_ts) * z_p
         mu_q = _inflate(a_ts) * z_q
@@ -357,7 +380,7 @@ class JointDDPM:
         cfg = self.cfg
         nd = cfg.n_dims
         b = z_p.shape[0]
-        gamma_0 = jnp.full((b,), self.gamma[0])
+        gamma_0 = jnp.broadcast_to(self._gamma0(params), (b,))
         sigma_x = sch.snr(-0.5 * gamma_0)
         net_p, net_q = self._apply(
             params, z_p, z_q, jnp.zeros((b, 1)), mask_p, mask_q
@@ -436,7 +459,7 @@ class JointDDPM:
         def combine_known(key, z_p_un, z_q_un, s_int):
             """Noise the known part to level s and splice it in, CoM-aligned
             (en_diffusion.py:736-781)."""
-            gamma_s = jnp.full((b,), self._gamma_at_int(s_int))
+            gamma_s = jnp.broadcast_to(self._gamma_at_int(params, s_int), (b,))
             a_s, s_s = sch.alpha(gamma_s), sch.sigma(gamma_s)
             eps_p, eps_q = self._sample_joint_noise(key, phar.mask, pocket.mask)
             zk_p = _inflate(a_s) * xh0_p + _inflate(s_s) * eps_p

@@ -58,10 +58,12 @@ def _to_clouds(batch: Dict[str, np.ndarray]):
 
 def init_params(model, rng, batch):
     phar, pocket = _to_clouds(batch)
-    return model.dynamics.init(
+    params = model.dynamics.init(
         rng, phar.xh, pocket.xh, jnp.zeros((phar.batch, 1)),
         phar.mask, pocket.mask,
     )
+    # learned noise schedule: gamma-net params join the same tree
+    return model.init_extra_params(jax.random.fold_in(rng, 7), params)
 
 
 def evaluate(model, params, dataset: DiffPharDataset, rng,

@@ -93,7 +93,7 @@ def test_kl_prior_small(model_and_params):
     phar_n = model.normalize(phar)
     x_c, _ = model._center(phar_n.x, pocket.x, phar.mask, pocket.mask)
     xh0 = jnp.concatenate([x_c, phar_n.h], axis=-1)
-    kl = model._kl_prior(xh0, phar.mask, phar.size)
+    kl = model._kl_prior(params, xh0, phar.mask, phar.size)
     assert float(jnp.max(jnp.abs(kl))) < 0.1
 
 
