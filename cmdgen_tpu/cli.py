@@ -131,6 +131,12 @@ def _add_get_phar(sub):
     p.add_argument("--min-samples", type=int, default=12)
     p.add_argument("--dual-json", default=None,
                    help="second target cloud: dual-target mode")
+    p.add_argument("--dual-mode", default="gmm",
+                   choices=["gmm", "dbscan", "indiv"],
+                   help="dual-target clusterer: pooled GMM "
+                        "(point_dultarget.py), standardized DBSCAN "
+                        "(point_dultarget_DBSCAN.py), or per-set GMM + "
+                        "cross-set merge (point_dultarget_indiv.py)")
     p.add_argument("--select-json", default=None,
                    help="anti-target cloud: selectivity mode")
     p.add_argument("--seed", type=int, default=42)
@@ -141,11 +147,20 @@ def _add_get_phar(sub):
         coords, fams = gp.load_point_cloud_json(args.cloud_json)
         if args.dual_json:
             c2, f2 = gp.load_point_cloud_json(args.dual_json)
+            out = Path(args.out_posp)
+            if args.dual_mode == "indiv":
+                cons = gp.dual_target_consensus_indiv(
+                    coords, fams, c2, f2, n_clusters=args.n_clusters,
+                    seed=args.seed,
+                )
+                gp.write_consensus(out.with_suffix(".dual_indiv.posp"), cons)
+                print(f"wrote {out.with_suffix('.dual_indiv.posp')}")
+                return
             cons2, cons1 = gp.dual_target_consensus(
                 coords, fams, c2, f2, n_clusters=args.n_clusters,
-                seed=args.seed,
+                seed=args.seed, method=args.dual_mode,
+                dbscan_eps=args.eps, dbscan_min_samples=args.min_samples,
             )
-            out = Path(args.out_posp)
             gp.write_consensus(out.with_suffix(".dual1.posp"), cons1)
             gp.write_consensus(out.with_suffix(".dual2.posp"), cons2)
             print(f"wrote {out.with_suffix('.dual1.posp')} and .dual2.posp")
