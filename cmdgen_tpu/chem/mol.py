@@ -51,6 +51,10 @@ class Atom:
     explicit_h: Optional[int] = None  # None => implicit per valence model
     isotope: int = 0
     idx: int = -1
+    # Tetrahedral chirality, stored order-independently: 0 means '@'
+    # (counterclockwise) with the 4 neighbors listed in ascending index
+    # order (implicit H = -1, lone pair / phantom = -2). None = achiral.
+    chirality: Optional[int] = None
 
 
 @dataclasses.dataclass
@@ -59,9 +63,34 @@ class Bond:
     a2: int
     order: int = 1          # 1, 2, 3 (kekulized); aromatic flagged separately
     aromatic: bool = False
+    # Raw directional symbol ('/' or '\\') as written in a1->a2 orientation
+    # (single bonds only; parse artifact used to derive double-bond stereo).
+    direction: Optional[str] = None
+    # Double-bond stereo, order-independent: (ref neighbor of a1,
+    # ref neighbor of a2, True if the two refs are cis / same side).
+    stereo: Optional[Tuple[int, int, bool]] = None
 
     def other(self, i: int) -> int:
         return self.a2 if i == self.a1 else self.a1
+
+
+def _perm_parity(a: List, b: List) -> int:
+    """Parity (0/1) of the permutation mapping list a onto list b
+    (same distinct elements)."""
+    idx = {v: i for i, v in enumerate(b)}
+    perm = [idx[v] for v in a]
+    seen = [False] * len(perm)
+    parity = 0
+    for i in range(len(perm)):
+        if seen[i]:
+            continue
+        j, clen = i, 0
+        while not seen[j]:
+            seen[j] = True
+            j = perm[j]
+            clen += 1
+        parity ^= (clen - 1) & 1
+    return parity
 
 
 class Mol:
@@ -412,19 +441,27 @@ class SmilesError(ValueError):
 
 
 def parse_smiles(smiles: str) -> Mol:
-    """Parse SMILES into a Mol (raises SmilesError on malformed input)."""
+    """Parse SMILES into a Mol (raises SmilesError on malformed input).
+
+    Stereochemistry: tetrahedral '@'/'@@' tags and '/'\\'' directional
+    bonds are converted into the order-independent Atom.chirality /
+    Bond.stereo representations (reference behavior: RDKit keeps isomeric
+    SMILES through canonicalization, GCPG/utils/dataset.py:201-208)."""
     mol = Mol()
     prev: List[Optional[int]] = [None]  # stack of attachment atoms
     pending_bond: Optional[str] = None
     ring_map: Dict[int, Tuple[int, Optional[str]]] = {}
+    nbr_order: Dict[int, List] = {}   # written neighbor order per atom
+    chiral_tags: Dict[int, int] = {}  # atom idx -> 0 ('@') / 1 ('@@')
     i = 0
     n = len(smiles)
     if not smiles:
         raise SmilesError("empty")
 
-    def finish_atom(atom: Atom):
+    def finish_atom(atom: Atom, chiral_tag: Optional[int] = None):
         idx = mol.add_atom(atom)
         nonlocal pending_bond
+        nbr_order[idx] = []
         if prev[-1] is not None:
             a, b = prev[-1], idx
             order, aromatic = _resolve_bond(mol, a, b, pending_bond)
@@ -432,6 +469,16 @@ def parse_smiles(smiles: str) -> Mol:
                 mol.add_bond(a, b, order, aromatic)
             except ValueError as e:
                 raise SmilesError(str(e))
+            if pending_bond in ("/", "\\"):
+                mol.bonds[-1].direction = pending_bond
+            nbr_order[a].append(idx)
+            nbr_order[idx].append(a)
+        if chiral_tag is not None:
+            chiral_tags[idx] = chiral_tag
+            if (atom.explicit_h or 0) == 1:
+                # the bracket H occupies the slot right after the preceding
+                # atom (or first, when the chiral atom opens the SMILES)
+                nbr_order[idx].append(-1)
         pending_bond = None
         prev[-1] = idx
         return idx
@@ -466,7 +513,14 @@ def parse_smiles(smiles: str) -> Mol:
                 else:
                     chg = int(cgrp)
             iso = int(m.group("iso")) if m.group("iso") else 0
-            finish_atom(Atom(sym_t, chg, aromatic, nh, iso))
+            cgrp_ch = m.group("chiral")
+            if cgrp_ch in ("@", "@TH1"):
+                chiral_tag = 0
+            elif cgrp_ch in ("@@", "@TH2"):
+                chiral_tag = 1
+            else:
+                chiral_tag = None  # exotic (@AL/@SP/...) or absent: dropped
+            finish_atom(Atom(sym_t, chg, aromatic, nh, iso), chiral_tag)
             i = j + 1
         elif c.isalpha():
             if smiles[i : i + 2] in ("Cl", "Br"):
@@ -511,9 +565,23 @@ def parse_smiles(smiles: str) -> Mol:
                     mol.add_bond(a, b, order, aromatic)
                 except ValueError as e:
                     raise SmilesError(str(e))
+                if sym in ("/", "\\"):
+                    # written at the closer => orientation closer->opener;
+                    # Bond stores a1=opener, so flip closer-written symbols
+                    if pending_bond in ("/", "\\"):
+                        mol.bonds[-1].direction = (
+                            "\\" if pending_bond == "/" else "/"
+                        )
+                    else:
+                        mol.bonds[-1].direction = open_bond
+                # fill the opener's placeholder slot; closer appends now
+                slots = nbr_order[a]
+                slots[slots.index(("r", num))] = b
+                nbr_order[b].append(a)
                 pending_bond = None
             else:
                 ring_map[num] = (prev[-1], pending_bond)
+                nbr_order[prev[-1]].append(("r", num))
                 pending_bond = None
         elif c == ".":
             prev[-1] = None
@@ -525,7 +593,48 @@ def parse_smiles(smiles: str) -> Mol:
         raise SmilesError(f"unmatched ring closures {sorted(ring_map)}")
     if len(prev) != 1:
         raise SmilesError("unbalanced (")
+    _finalize_tetrahedral(mol, chiral_tags, nbr_order)
+    _finalize_bond_stereo(mol)
     return mol
+
+
+def _finalize_tetrahedral(mol: Mol, chiral_tags: Dict[int, int],
+                          nbr_order: Dict[int, List]):
+    """Convert written-order '@'/'@@' tags into the order-independent
+    parity stored on Atom.chirality (parity w.r.t. ascending-index
+    neighbors). 3-coordinate chiral centers get a phantom (-2) in the last
+    slot (lone pair / trailing implicit H, Daylight convention)."""
+    for i, tag in chiral_tags.items():
+        written = list(nbr_order.get(i, []))
+        if any(isinstance(v, tuple) for v in written):
+            continue  # unresolved ring slot — malformed, drop
+        if len(written) == 3:
+            written = written + [-2]
+        if len(written) != 4 or len(set(written)) != 4:
+            continue  # chirality undefined at this center — drop
+        mol.atoms[i].chirality = tag ^ _perm_parity(written, sorted(written))
+
+
+def _finalize_bond_stereo(mol: Mol):
+    """Derive double-bond cis/trans from '/'\\'' directional single bonds
+    (convention: 'p/q' puts p at the lower end)."""
+
+    def side_ref(bond: Bond, a: int):
+        for nb, bi in mol.neighbors(a):
+            bb = mol.bonds[bi]
+            if bb is bond or bb.direction is None:
+                continue
+            lower = bb.a1 if bb.direction == "/" else bb.a2
+            return nb, (-1 if lower == nb else 1)
+        return None, 0
+
+    for b in mol.bonds:
+        if b.order != 2 or b.aromatic:
+            continue
+        x, sx = side_ref(b, b.a1)
+        y, sy = side_ref(b, b.a2)
+        if x is not None and y is not None:
+            b.stereo = (x, y, sx == sy)
 
 
 def _resolve_bond(mol: Mol, a: int, b: int, sym: Optional[str]):
@@ -563,29 +672,35 @@ def mol_from_smiles(smiles: str) -> Optional[Mol]:
 
 # ------------------------------------------------------------------ writer
 
-def _invariants(mol: Mol) -> List[int]:
+def _invariants(mol: Mol) -> List[Tuple]:
+    """Deterministic per-atom invariant keys. (Must NOT use Python hash():
+    string hashing is salted per process, which would make canonical SMILES
+    unstable across runs.)"""
     inv = []
     in_ring = mol.ring_membership()
     for i, a in enumerate(mol.atoms):
         inv.append(
-            hash(
-                (
-                    a.symbol,
-                    a.charge,
-                    a.aromatic,
-                    mol.degree(i),
-                    mol.total_h(i),
-                    in_ring[i],
-                )
+            (
+                a.symbol,
+                a.charge,
+                a.aromatic,
+                mol.degree(i),
+                mol.total_h(i),
+                in_ring[i],
             )
-            & 0x7FFFFFFF
         )
     return inv
 
 
-def canonical_ranks(mol: Mol) -> List[int]:
+def canonical_ranks_ex(mol: Mol, first_choice: Optional[int] = None):
     """Iterative neighborhood refinement (Morgan-style) with deterministic
-    tie-breaking, yielding a canonical atom order."""
+    tie-breaking, yielding a canonical atom order.
+
+    Returns (ranks, first_tie_class): the members of the first tied class
+    encountered (empty when refinement fully discriminates). Passing one of
+    them as ``first_choice`` promotes that atom at the first tie instead of
+    the min-index default — used by the stereo-aware canonical writer to
+    enumerate automorphic writings."""
     n = mol.n_atoms
     inv = _invariants(mol)
 
@@ -617,28 +732,65 @@ def canonical_ranks(mol: Mol) -> List[int]:
         ranks[i] = r
     ranks = refine(ranks)
     # break remaining ties deterministically
+    first_tie_class: List[int] = []
+    first = True
     while len(set(ranks)) < n:
         counts: Dict[int, List[int]] = {}
         for i, rk in enumerate(ranks):
             counts.setdefault(rk, []).append(i)
         tie = min((rk for rk, idxs in counts.items() if len(idxs) > 1))
-        chosen = min(counts[tie])
+        if first:
+            first_tie_class = list(counts[tie])
+            chosen = (
+                first_choice
+                if first_choice in counts[tie]
+                else min(counts[tie])
+            )
+            first = False
+        else:
+            chosen = min(counts[tie])
         ranks = [rk * 2 for rk in ranks]
         ranks[chosen] -= 1
         ranks = refine(ranks)
-    return ranks
+    return ranks, first_tie_class
+
+
+def canonical_ranks(mol: Mol) -> List[int]:
+    return canonical_ranks_ex(mol)[0]
 
 
 def write_smiles(mol: Mol, canonical: bool = True,
-                 rng: Optional[_random.Random] = None) -> str:
+                 rng: Optional[_random.Random] = None,
+                 _ranks: Optional[List[int]] = None) -> str:
     """DFS SMILES writer. canonical=True uses canonical ranks for root and
     neighbor ordering; otherwise a random order (for data augmentation,
-    replacing MolToSmiles(doRandom=True), dataset.py:204)."""
+    replacing MolToSmiles(doRandom=True), dataset.py:204).
+
+    Stereo + symmetry: automorphic tie-break choices write identical strings
+    for achiral molecules but can flip stereo tags (e.g. the two ring paths
+    of a 1,4-disubstituted cyclohexane). When the molecule carries stereo
+    and refinement left a tie, the writer enumerates the first tie class and
+    returns the lexicographically smallest string, so every labeling of the
+    same stereoisomer canonicalizes identically (single-symmetry-axis case;
+    nested independent symmetries fall back to min-index)."""
     n = mol.n_atoms
     if n == 0:
         return ""
     if canonical:
-        ranks = canonical_ranks(mol)
+        if _ranks is not None:
+            ranks = _ranks
+        else:
+            ranks, tie_class = canonical_ranks_ex(mol)
+            has_stereo = any(a.chirality is not None for a in mol.atoms) or any(
+                b.stereo is not None for b in mol.bonds
+            )
+            if has_stereo and tie_class and len(tie_class) <= 8:
+                return min(
+                    write_smiles(
+                        mol, True, _ranks=canonical_ranks_ex(mol, c)[0]
+                    )
+                    for c in tie_class
+                )
         key = lambda i: ranks[i]
         roots = sorted(range(n), key=key)
     else:
@@ -678,25 +830,96 @@ def write_smiles(mol: Mol, canonical: bool = True,
     ring_digit: Dict[frozenset, int] = {}
     free_digits = list(range(1, 100))
 
-    def bond_symbol(b: Bond, from_atom: int) -> str:
+    # --- directional-slash assignment for double-bond stereo ------------
+    # slash_lower[bond idx] = the atom at the lower end of that single bond.
+    # Reference substituents and orientation are chosen by the writer's own
+    # atom key (canonical ranks / random perm), NOT the parse-time stored
+    # refs — the stored (x, y) pair depends on the input labeling and would
+    # make canonical output unstable across writings of the same isomer.
+    slash_lower: Dict[int, int] = {}
+
+    def _bond_idx(a: int, b: int) -> Optional[int]:
+        for nb, bi in mol.neighbors(a):
+            if nb == b:
+                return bi
+        return None
+
+    def _side_subs(a: int, other: int) -> List[int]:
+        """Tree-edge single-bond substituents of a (excluding the double-bond
+        partner), in key order; ring-closure refs are skipped (symbol
+        placement at digits is ambiguous across parsers)."""
+        return sorted(
+            (
+                nb
+                for nb, bi in mol.neighbors(a)
+                if nb != other
+                and mol.bonds[bi].order == 1
+                and not mol.bonds[bi].aromatic
+                and frozenset((a, nb)) in tree_edges
+            ),
+            key=key,
+        )
+
+    stereo_dbl = sorted(
+        (
+            bi
+            for bi, b in enumerate(mol.bonds)
+            if b.stereo is not None and b.order == 2
+        ),
+        key=lambda bi: min(key(mol.bonds[bi].a1), key(mol.bonds[bi].a2)),
+    )
+    for dbi in stereo_dbl:
+        db = mol.bonds[dbi]
+        p, q = sorted((db.a1, db.a2), key=key)
+        x, y, cis = db.stereo
+        x_p, x_q = (x, y) if p == db.a1 else (y, x)
+        subs_p = _side_subs(p, q)
+        subs_q = _side_subs(q, p)
+        if not subs_p or not subs_q:
+            continue
+        r_p, r_q = subs_p[0], subs_q[0]
+        # re-express the stored cis flag for the chosen reference pair
+        # (swapping to the other substituent on a trigonal carbon negates it)
+        c = cis
+        if r_p != x_p:
+            c = not c
+        if r_q != x_q:
+            c = not c
+        bx = _bond_idx(r_p, p)
+        by = _bond_idx(r_q, q)
+        if bx in slash_lower:
+            sx = -1 if slash_lower[bx] == r_p else 1
+        else:
+            slash_lower[bx] = r_p
+            sx = -1
+        sy = sx if c else -sx
+        want_lower = r_q if sy == -1 else q
+        if by not in slash_lower:
+            slash_lower[by] = want_lower
+        # else: conjugated conflict — keep the earlier assignment
+
+    def bond_symbol(b: Bond, from_atom: int, bi: Optional[int] = None) -> str:
         if b.aromatic:
             return ""
         if b.order == 2:
             return "="
         if b.order == 3:
             return "#"
+        if bi is not None and bi in slash_lower:
+            return "/" if slash_lower[bi] == from_atom else "\\"
         a1, a2 = mol.atoms[b.a1], mol.atoms[b.a2]
         if a1.aromatic and a2.aromatic and b.order == 1:
             return "-"  # explicit single between aromatic atoms
         return ""
 
-    def atom_token(i: int) -> str:
+    def atom_token(i: int, chiral_txt: str = "") -> str:
         a = mol.atoms[i]
         sym = a.symbol.lower() if a.aromatic else a.symbol
         needs_bracket = (
             a.symbol not in ORGANIC_SUBSET
             or a.charge != 0
             or a.isotope != 0
+            or bool(chiral_txt)
             # aromatic heteroatoms carrying H must stay bracketed ([nH]):
             # bare 'n' means the pyridine-type zero-H reading on re-parse
             or (a.aromatic and a.symbol != "C" and (a.explicit_h or 0) > 0)
@@ -721,40 +944,61 @@ def write_smiles(mol: Mol, canonical: bool = True,
         else:
             ctxt = f"{a.charge:+d}"
         iso = str(a.isotope) if a.isotope else ""
-        return f"[{iso}{sym}{htxt}{ctxt}]"
+        return f"[{iso}{sym}{chiral_txt}{htxt}{ctxt}]"
 
     out: List[str] = []
 
     def dfs(i: int, parent_bond: Optional[int]):
         visited[i] = True
-        out.append(atom_token(i))
-        # ring closures at this atom
         nbrs = sorted(mol.neighbors(i), key=lambda t: key(t[0]))
-        for nb, bi in nbrs:
-            e = frozenset((i, nb))
-            if e in tree_edges or bi == parent_bond:
-                continue
-            b = mol.bonds[bi]
-            if e in ring_digit:
-                d = ring_digit.pop(e)
-                free_digits.insert(0, d)
-                free_digits.sort()
-                out.append(bond_symbol(b, i) + _digit(d))
-            else:
-                d = free_digits.pop(0)
-                ring_digit[e] = d
-                out.append(bond_symbol(b, i) + _digit(d))
+        ring_nbrs = [
+            (nb, bi)
+            for nb, bi in nbrs
+            if frozenset((i, nb)) not in tree_edges and bi != parent_bond
+        ]
         children = [
             (nb, bi)
             for nb, bi in nbrs
             if frozenset((i, nb)) in tree_edges and not visited[nb]
         ]
+        chiral_txt = ""
+        a = mol.atoms[i]
+        if a.chirality is not None:
+            # output-order neighbor list: parent, bracket-H, ring digits,
+            # children (mirrors the parse-side convention)
+            l_out: List[int] = []
+            if parent_bond is not None:
+                l_out.append(mol.bonds[parent_bond].other(i))
+            h = a.explicit_h if a.explicit_h is not None else mol.implicit_h(i)
+            if h == 1:
+                l_out.append(-1)
+            l_out += [nb for nb, _ in ring_nbrs]
+            l_out += [nb for nb, _ in children]
+            if len(l_out) == 3:
+                l_out.append(-2)
+            if len(l_out) == 4 and len(set(l_out)) == 4:
+                parity = a.chirality ^ _perm_parity(sorted(l_out), l_out)
+                chiral_txt = "@" if parity == 0 else "@@"
+        out.append(atom_token(i, chiral_txt))
+        # ring closures at this atom
+        for nb, bi in ring_nbrs:
+            e = frozenset((i, nb))
+            b = mol.bonds[bi]
+            if e in ring_digit:
+                d = ring_digit.pop(e)
+                free_digits.insert(0, d)
+                free_digits.sort()
+                out.append(bond_symbol(b, i, bi) + _digit(d))
+            else:
+                d = free_digits.pop(0)
+                ring_digit[e] = d
+                out.append(bond_symbol(b, i, bi) + _digit(d))
         for k, (nb, bi) in enumerate(children):
             b = mol.bonds[bi]
             last = k == len(children) - 1
             if not last:
                 out.append("(")
-            out.append(bond_symbol(b, i))
+            out.append(bond_symbol(b, i, bi))
             dfs(nb, bi)
             if not last:
                 out.append(")")
