@@ -18,6 +18,12 @@ conditions [MW, logP, QED, SAS, HBA, HBD, RotBonds]
   DiffPhar/analysis/SA_Score/sascorer.py; without that database the
   fragment contribution is approximated — documented deviation).
 - Morgan-style hashed circular fingerprints + Tanimoto for diversity.
+
+Validation (tests/test_descriptors.py golden set, 33 molecules with
+published PubChem/Cactvs values): MW exact (<0.05); TPSA exact (<0.15)
+except fused-aromatic-N systems where aromaticity perception differs from
+RDKit (caffeine +3.4 worst case); logP max |dev| < 2.0, mean |dev| < 0.75
+vs XLogP3.
 """
 from __future__ import annotations
 
@@ -130,8 +136,17 @@ def crippen_logp(m) -> float:
             if a.aromatic:
                 total += 0.11
             else:
-                dbl = any(mol.bonds[bi].order == 2 for _, bi in mol.neighbors(i))
-                total += -0.12 if dbl else (-0.40 if nh > 0 else -0.25)
+                dbl_to = [
+                    mol.atoms[nb].symbol
+                    for nb, bi in mol.neighbors(i)
+                    if mol.bonds[bi].order == 2
+                ]
+                if any(t in ("S", "N", "P") for t in dbl_to):
+                    total += -1.326  # oxide O (Wildman-Crippen O12: S=O, N-oxide)
+                elif dbl_to:
+                    total += -0.12
+                else:
+                    total += -0.40 if nh > 0 else -0.25
         elif s == "S":
             total += 0.65
         elif s == "P":
@@ -167,12 +182,18 @@ def tpsa(m) -> float:
         if a.symbol == "N":
             if a.charge == 0:
                 if arom:
+                    n_arom_bonds = sum(
+                        1 for _, bi in mol.neighbors(i)
+                        if mol.bonds[bi].aromatic
+                    )
                     if nh == 0 and deg == 2:
                         total += 12.89
                     elif nh == 1:
                         total += 15.79
+                    elif n_arom_bonds >= 3:
+                        total += 4.41  # ring-fusion aromatic N [n](:*)(:*):*
                     else:
-                        total += 4.41  # fused/substituted aromatic N
+                        total += 4.93  # substituted aromatic N [n](-*)(:*):*
                 else:
                     if nh == 0:
                         if 3 in orders:
@@ -199,13 +220,26 @@ def tpsa(m) -> float:
             else:
                 total += 9.23
         elif a.symbol == "S":
-            # commonly included S contributions
+            # extended Ertl S contributions (the Cactvs/PubChem convention)
+            n_dbl = orders.count(2)
             if nh > 0:
                 total += 38.80
-            elif 2 in orders:
-                total += 32.09
+            elif n_dbl >= 2:
+                total += 8.38   # sulfone S(=O)(=O)
+            elif n_dbl == 1 and deg >= 3:
+                total += 19.21  # sulfoxide >S=O
+            elif n_dbl == 1:
+                total += 32.09  # thiocarbonyl =S
+            elif arom:
+                total += 28.24  # aromatic s (thiophene)
             else:
-                total += 25.30 if deg <= 2 else 0.0
+                total += 25.30  # thioether/thiol-ether -S-
+        elif a.symbol == "P":
+            n_dbl = orders.count(2)
+            if n_dbl >= 1:
+                total += 9.81 if deg >= 4 else 34.14
+            else:
+                total += 13.59
     return total
 
 
