@@ -76,9 +76,70 @@ def get_bond_order(a1: str, a2: str, distance: float) -> int:
     return 0
 
 
-def make_mol(symbols: Sequence[str], coords: np.ndarray) -> Mol:
+def perceive_aromatic_rings(mol: Mol, coords: np.ndarray,
+                            lo: float = 1.28, hi: float = 1.46) -> bool:
+    """Geometric aromaticity perception for distance-built molecules.
+
+    The reference's *default* bond-perception path is an OpenBabel xyz
+    round-trip (molecule_builder.py:58-88), which recovers aromatic rings;
+    the distance-table path alone leaves benzene as single bonds. Here:
+    5/6-rings whose atoms can be aromatic, whose ring bond lengths all sit
+    in the aromatic window, and whose carbons are sp2-like (degree <= 3)
+    are flagged aromatic and kekulized. Returns True if anything changed."""
+    from cmdgen_tpu.chem.mol import AROMATIC_OK
+
+    changed = []
+    for ring in mol.rings():
+        if len(ring) not in (5, 6):
+            continue
+        if not all(mol.atoms[i].symbol in AROMATIC_OK for i in ring):
+            continue
+        if any(
+            mol.atoms[i].symbol == "C" and mol.degree(i) > 3 for i in ring
+        ):
+            continue
+        bonds = []
+        ok = True
+        for k in range(len(ring)):
+            i, j = ring[k], ring[(k + 1) % len(ring)]
+            b = mol.bond_between(i, j)
+            d = float(np.linalg.norm(coords[i] - coords[j]))
+            if b is None or not (lo <= d <= hi):
+                ok = False
+                break
+            bonds.append(b)
+        if ok:
+            changed.append((ring, bonds))
+    if not changed:
+        return False
+    saved = [
+        (b, b.order, b.aromatic) for _, bonds in changed for b in bonds
+    ]
+    for ring, bonds in changed:
+        for i in ring:
+            mol.atoms[i].aromatic = True
+        for b in bonds:
+            b.aromatic = True
+            b.order = 1
+    if not mol.kekulize():
+        # not actually kekulizable: revert (conservative)
+        for _, bonds in changed:
+            pass
+        for b, order, arom in saved:
+            b.order = order
+            b.aromatic = arom
+        for ring, _ in changed:
+            for i in ring:
+                mol.atoms[i].aromatic = False
+        return False
+    return True
+
+
+def make_mol(symbols: Sequence[str], coords: np.ndarray,
+             perceive_aromatic: bool = True) -> Mol:
     """xyz -> Mol with perceived bonds (make_mol_edm, molecule_builder.py:
-    91-127)."""
+    91-127) plus geometric aromatic-ring perception (the behavior envelope
+    of the reference's default OpenBabel round-trip path)."""
     mol = Mol()
     for s in symbols:
         mol.add_atom(Atom(s))
@@ -89,6 +150,8 @@ def make_mol(symbols: Sequence[str], coords: np.ndarray) -> Mol:
             order = get_bond_order(symbols[i], symbols[j], d[i, j])
             if order > 0:
                 mol.add_bond(i, j, order)
+    if perceive_aromatic:
+        perceive_aromatic_rings(mol, np.asarray(coords))
     return mol
 
 

@@ -285,15 +285,42 @@ def _add_generate(sub):
 
 
 def _add_align(sub):
-    p = sub.add_parser("align", help="align SMILES conformers onto a .posp")
-    p.add_argument("smiles_file")
+    p = sub.add_parser(
+        "align",
+        help="align SMILES (or posed PDB ligands) onto a .posp",
+    )
+    p.add_argument("smiles_file",
+                   help="SMILES list, or a dir/glob of pose PDBs with "
+                        "--pose-pdbs")
     p.add_argument("posp_file")
     p.add_argument("out_dir")
     p.add_argument("--n-conformers", type=int, default=10)
     p.add_argument("--num-keep", type=int, default=3)
     p.add_argument("--tolerance", type=int, default=0)
+    p.add_argument("--pose-pdbs", action="store_true",
+                   help="treat the first argument as a directory of "
+                        "docked-pose PDB ligands and run the RMSD-vs-pose "
+                        "eval (align_ligandpharm_gcpg_test.py)")
+    p.add_argument("--ref-ligand", default=None,
+                   help="chain:resid selector inside each pose PDB "
+                        "(default: all non-water HETATM/ATOM heavy atoms)")
 
     def run(args):
+        if args.pose_pdbs:
+            from cmdgen_tpu.pipeline.evaluate import eval_alignment_rmsd_posed
+
+            pose_dir = Path(args.smiles_file)
+            paths = sorted(pose_dir.glob("*.pdb")) if pose_dir.is_dir() else [
+                pose_dir
+            ]
+            out = eval_alignment_rmsd_posed(
+                paths, args.posp_file, ref_ligand=args.ref_ligand,
+                n_conformers=args.n_conformers,
+                tolerance=args.tolerance, out_dir=args.out_dir,
+            )
+            out.pop("rmsd_values")
+            print(json.dumps({k: round(float(v), 4) for k, v in out.items()}))
+            return
         from cmdgen_tpu.pipeline.align import align_smiles_list
 
         smiles = Path(args.smiles_file).read_text().strip().split("\n")

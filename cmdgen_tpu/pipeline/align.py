@@ -100,10 +100,11 @@ def align_molecule(
     tolerance: int = 0,
     refine_steps: int = 200,
 ):
-    """Embed + align one molecule. Returns list of
+    """Embed + align one molecule (a SMILES string or an already-built
+    chem Mol, e.g. a PDB-pose ligand with perceived bonds). Returns list of
     (rmsd, conformer coords aligned into the pharmacophore frame, kept point
     indices) sorted by RMSD, or None if the molecule can't be matched."""
-    mol = mol_from_smiles(smiles)
+    mol = mol_from_smiles(smiles) if isinstance(smiles, str) else smiles
     if mol is None:
         return None
     results = []

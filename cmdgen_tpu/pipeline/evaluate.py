@@ -9,6 +9,7 @@ Equivalents of the reference's evaluation CLIs:
 """
 from __future__ import annotations
 
+from pathlib import Path
 from typing import Dict, List, Optional, Sequence
 
 import jax
@@ -119,6 +120,89 @@ def eval_alignment_rmsd(
         "rmsd_mean": float(np.mean(rmsds)) if rmsds else float("nan"),
         "rmsd_median": float(np.median(rmsds)) if rmsds else float("nan"),
         "n_aligned": len(rmsds),
+        "rmsd_values": rmsds,
+    }
+
+
+def eval_alignment_rmsd_posed(
+    pose_pdb_paths: Sequence,
+    posp_path,
+    ref_ligand: Optional[str] = None,
+    rng=None,
+    n_conformers: int = 10,
+    tolerance: int = 1,
+    out_dir=None,
+) -> Dict[str, float]:
+    """Posed-PDB-ligand RMSD evaluation
+    (PharAlign/align_ligandpharm_gcpg_test.py:339-562): parse each
+    docked-pose PDB ligand, re-embed + align it onto the pharmacophore with
+    tolerance subsets, and report the minimum heavy-atom RMSD between the
+    aligned conformers and the reference pose. Writes ``rmsd_values.npy``
+    (only the finite values, L539-547) when ``out_dir`` is given.
+
+    Deviations from the reference, documented:
+    - bond perception uses the EDM distance tables (chem/mol_build.py)
+      instead of Chem.MolFromPDBFile;
+    - the RMSD compares the aligned conformer against the *actual pose
+      coordinates* after Kabsch superposition. The reference re-embeds BOTH
+      molecules with fresh RDKit conformers and subtracts them without
+      superposition (generate_coords_np L344-351) — a quirk whose output is
+      dominated by the arbitrary embedding frames; we do not replicate it.
+    """
+    import jax
+
+    from cmdgen_tpu.chem.mol_build import make_mol
+    from cmdgen_tpu.chem.pdb import ligand_atoms, parse_pdb
+    from cmdgen_tpu.ops.kabsch import aligned_rmsd
+    from cmdgen_tpu.pipeline.align import align_molecule, load_pp_points
+
+    rng = rng if rng is not None else jax.random.PRNGKey(0)
+    pp_coords, pp_types = load_pp_points(posp_path)
+    rmsds = []
+    n_failed = 0
+    for path in pose_pdb_paths:
+        try:
+            residues = parse_pdb(path)
+            if ref_ligand is not None:
+                atoms = ligand_atoms(residues, ref_ligand)
+            else:
+                # a pose file usually holds just the ligand: all heavy atoms
+                atoms = [
+                    a
+                    for r in residues
+                    for a in r.atoms
+                    if a.element != "H" and r.res_name != "HOH"
+                ]
+            if not atoms:
+                raise ValueError(f"no ligand atoms in {path}")
+            symbols = [a.element for a in atoms]
+            pose = np.stack([a.coord for a in atoms])
+            mol = make_mol(symbols, pose)
+            rng, sub = jax.random.split(rng)
+            res = align_molecule(
+                mol, pp_coords, pp_types, sub,
+                n_conformers=n_conformers, num_keep=n_conformers,
+                tolerance=tolerance,
+            )
+            if not res:
+                raise ValueError("no alignment")
+            best = min(
+                float(aligned_rmsd(jnp.asarray(conf), jnp.asarray(pose)))
+                for _, conf, _ in res
+            )
+            rmsds.append(best)
+        except Exception:
+            n_failed += 1  # per-molecule try/except-and-skip, as the reference
+    if out_dir is not None:
+        out_dir = Path(out_dir)
+        out_dir.mkdir(parents=True, exist_ok=True)
+        if rmsds:
+            np.save(out_dir / "rmsd_values.npy", np.asarray(rmsds, np.float32))
+    return {
+        "rmsd_mean": float(np.mean(rmsds)) if rmsds else float("nan"),
+        "rmsd_median": float(np.median(rmsds)) if rmsds else float("nan"),
+        "n_aligned": len(rmsds),
+        "n_failed": n_failed,
         "rmsd_values": rmsds,
     }
 

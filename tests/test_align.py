@@ -81,3 +81,61 @@ def test_align_smiles_list(tmp_path):
 
     mols = read_sdf(sdfs[0])
     assert len(mols) == 2  # num_keep conformers written
+
+
+def test_posed_pdb_rmsd_eval(tmp_path):
+    """Posed-PDB RMSD eval (VERDICT r1 item 9): embed a molecule, write it
+    as a docked-pose PDB, build a pharmacophore from its own features, and
+    check the eval aligns it back with a finite, small RMSD and writes
+    rmsd_values.npy."""
+    from cmdgen_tpu.chem.features import get_features
+    from cmdgen_tpu.pipeline.evaluate import eval_alignment_rmsd_posed
+
+    smiles = "CCOc1ccccc1"
+    mol = mol_from_smiles(smiles)
+    conf = np.asarray(
+        embed_conformers(mol, 1, jax.random.PRNGKey(5), refine_steps=400)
+    )[0]
+    # write the pose as a HETATM-only PDB file
+    lines = []
+    for i, a in enumerate(mol.atoms):
+        x, y, z = conf[i]
+        lines.append(
+            f"HETATM{i+1:>5} {a.symbol+str(i):<4} LIG A 101    "
+            f"{x:8.3f}{y:8.3f}{z:8.3f}{1.0:6.2f}{0.0:6.2f}"
+            f"          {a.symbol:>2}"
+        )
+    pose = tmp_path / "pose.pdb"
+    pose.write_text("\n".join(lines) + "\n")
+
+    feats = get_features(mol)
+    arom = next(a for f, a in feats if f == "Aromatic")
+    acc = next(a for f, a in feats if f == "Acceptor")
+    posp = tmp_path / "hyp.posp"
+    ar = conf[list(arom)].mean(0)
+    ac = conf[list(acc)].mean(0)
+    posp.write_text(
+        f"AROM {ar[0]:.3f} {ar[1]:.3f} {ar[2]:.3f}\n"
+        f"HACC {ac[0]:.3f} {ac[1]:.3f} {ac[2]:.3f}\n"
+    )
+
+    out = eval_alignment_rmsd_posed(
+        [pose], posp, n_conformers=4, tolerance=1, out_dir=tmp_path / "out"
+    )
+    assert out["n_aligned"] == 1, out
+    assert out["n_failed"] == 0
+    assert np.isfinite(out["rmsd_mean"])
+    assert out["rmsd_mean"] < 3.5, out
+    vals = np.load(tmp_path / "out" / "rmsd_values.npy")
+    assert vals.shape == (1,)
+
+
+def test_posed_pdb_rmsd_eval_failures_counted(tmp_path):
+    from cmdgen_tpu.pipeline.evaluate import eval_alignment_rmsd_posed
+
+    bad = tmp_path / "bad.pdb"
+    bad.write_text("not a pdb\n")
+    posp = tmp_path / "hyp.posp"
+    posp.write_text("AROM 0 0 0\nHACC 1 0 0\n")
+    out = eval_alignment_rmsd_posed([bad], posp, n_conformers=2)
+    assert out["n_aligned"] == 0 and out["n_failed"] == 1
