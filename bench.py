@@ -4,50 +4,67 @@ Measures the hot loop of the whole pipeline — batched reverse-diffusion
 sampling of pharmacophore clouds given pockets (one "denoise step" = one
 EGNN denoiser evaluation for one sample; a batch of B samples over T scan
 steps is B*T denoise steps). Shapes follow the CA-pocket flagship config
-(crossdocked_ca_cond.yml: hidden 256, 5 layers, T=500, pocket ~100 CA atoms),
-with bf16 compute on the MXU.
+(crossdocked_ca_cond.yml: hidden 256, 5 layers, T=500, pocket ~110 CA atoms)
+with bf16 compute on the MXU, realistic folded-protein pocket geometry
+(shell around the site, CA-CA >= 3.8 Å — the density the 6 Å cutoff
+adjacency actually sees in CrossDocked), and the fixed-K neighbor-list
+engine (K=16; exact for this geometry, whose in-cutoff neighbor counts max
+out at ~11 — see benchmarks/egnn_probe.py and PERF.md).
 
 Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
 vs_baseline is measured against the driver-set north star of 50k
 denoise steps/sec/chip (BASELINE.json) — the reference itself publishes no
 numbers (BASELINE.md).
+
+Env knobs: BENCH_PALLAS=1 (fused Pallas engine), BENCH_DENSE=1 (dense
+[N,N] pair blocks instead of the neighbor list), BENCH_BATCH, BENCH_K.
 """
 from __future__ import annotations
 
 import dataclasses
 import json
+import os
 import time
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 
 def main():
     from cmdgen_tpu.config import ca_config
     from cmdgen_tpu.containers import PointCloud, mask_from_sizes
     from cmdgen_tpu.diffusion.cddpm import ConditionalDDPM
-    from cmdgen_tpu.models.dynamics import EGNNDynamics
-    from cmdgen_tpu.models.egnn import EGNNConfig
-
-    import os
-
-    from cmdgen_tpu.models.dynamics import make_pallas_apply
+    from cmdgen_tpu.models.dynamics import EGNNDynamics, make_pallas_apply
+    from cmdgen_tpu.utils.synthetic import realistic_ca_pocket
 
     cfg = ca_config()
-    egnn = dataclasses.replace(cfg.dynamics.egnn, compute_dtype=jnp.bfloat16)
+    use_pallas = os.environ.get("BENCH_PALLAS", "0") == "1"
+    use_dense = os.environ.get("BENCH_DENSE", "0") == "1"
+    b = int(os.environ.get("BENCH_BATCH", "48"))
+    k = int(os.environ.get("BENCH_K", "16"))
+    egnn = dataclasses.replace(
+        cfg.dynamics.egnn,
+        compute_dtype=jnp.bfloat16,
+        neighbor_k=None if (use_dense or use_pallas) else k,
+    )
     dyn_cfg = dataclasses.replace(cfg.dynamics, egnn=egnn)
     dynamics = EGNNDynamics(dyn_cfg)
-    use_pallas = os.environ.get("BENCH_PALLAS", "0") == "1"
     apply_fn = make_pallas_apply(dyn_cfg) if use_pallas else None
     model = ConditionalDDPM(cfg.ddpm, dynamics, apply_fn=apply_fn)
 
-    b, n_p, n_q = 48, 8, 110
+    n_p, n_q = 8, 110
     t_steps = 100  # timed slice of the T=500 chain (steps/sec is invariant)
     rng = jax.random.PRNGKey(0)
-    k1, k2, k3 = jax.random.split(rng, 3)
+    k2, k3 = jax.random.split(rng)
+    pockets = np.stack(
+        [realistic_ca_pocket(np.random.RandomState(i), n_q)
+         for i in range(min(b, 8))]
+    )
+    pockets = np.tile(pockets, (b // len(pockets) + 1, 1, 1))[:b]
     pocket = PointCloud(
-        x=jax.random.normal(k1, (b, n_q, 3)) * 4.0,
+        x=jnp.asarray(pockets),
         h=jax.nn.one_hot(
             jax.random.randint(k2, (b, n_q), 0, dyn_cfg.residue_nf),
             dyn_cfg.residue_nf,
@@ -87,7 +104,8 @@ def main():
             {
                 "metric": "egnn_denoise_steps_per_sec_per_chip",
                 "value": round(steps_per_sec, 2),
-                "unit": "denoise steps/s/chip (CA config: hidden 256, 5 layers, N=118, bf16)",
+                "unit": "denoise steps/s/chip (CA config: hidden 256, "
+                        "5 layers, N=118, bf16, neighbor-list K=16)",
                 "vs_baseline": round(steps_per_sec / 50000.0, 4),
             }
         )

@@ -23,19 +23,7 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def realistic_ca_pocket(rng: np.random.RandomState, n: int,
-                        r_lo=8.0, r_hi=14.0, min_sep=3.8) -> np.ndarray:
-    """n CA positions in a shell around the binding site, Poisson-disk-ish."""
-    pts = []
-    while len(pts) < n:
-        v = rng.randn(3)
-        v /= np.linalg.norm(v) + 1e-9
-        r = (r_lo**3 + rng.rand() * (r_hi**3 - r_lo**3)) ** (1 / 3)
-        p = v * r
-        if pts and np.min(np.linalg.norm(np.array(pts) - p, axis=1)) < min_sep:
-            continue
-        pts.append(p)
-    return np.array(pts, dtype=np.float32)
+from cmdgen_tpu.utils.synthetic import realistic_ca_pocket  # noqa: E402
 
 
 def main():

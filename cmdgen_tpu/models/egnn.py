@@ -50,30 +50,40 @@ class EGNNConfig:
     neighbor_k: Optional[int] = None
 
 
-def gather_nodes(v: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
-    """Gather per-node vectors at neighbor indices.
+def gather_nodes(v: jnp.ndarray, onehot: jnp.ndarray) -> jnp.ndarray:
+    """Gather per-node vectors at neighbor indices, as a one-hot matmul.
 
-    v: [B, N, D], idx: [B, N, K] -> [B, N, K, D] with out[b,i,k] = v[b, idx[b,i,k]].
+    v: [B, N, D], onehot: [B, N, K, N] (1.0 at [b,i,k,idx[b,i,k]]) ->
+    [B, N, K, D] with out[b,i,k] = v[b, idx[b,i,k]].
+
+    XLA:TPU lowers integer gathers to scalar loops (~0.9 ms per gather at
+    the flagship shapes); the one-hot contraction is an MXU matmul and runs
+    ~8x faster (measured: 10 gathers 9.7 ms -> 1.9 ms). Selection by a 0/1
+    matrix is exact in bf16 (one term per output element, no summation
+    rounding).
     """
-    return jax.vmap(lambda vb, ib: vb[ib])(v, idx)
+    return jnp.einsum("bikn,bnd->bikd", onehot, v)
 
 
-def build_neighbor_list(x: jnp.ndarray, edge_mask: jnp.ndarray, k: int):
+def build_neighbor_list(x: jnp.ndarray, edge_mask: jnp.ndarray, k: int,
+                        dtype=jnp.float32):
     """Top-K nearest neighbors of each node among its masked edges.
 
     x: [B, N, 3] (coordinates at dynamics entry — the same coordinates the
     reference uses to build its cutoff adjacency, dynamics.py:141-147),
-    edge_mask: [B, N, N]. Returns (idx [B,N,K] int32, kmask [B,N,K] float):
-    the K nearest valid edges of each receiver i, with kmask zero where a
-    row has fewer than K edges. Self-edges (d=0) are selected first, as in
-    the reference adjacency.
+    edge_mask: [B, N, N]. Returns (onehot [B,N,K,N] selection matrix for
+    ``gather_nodes``, kmask [B,N,K] float): the K nearest valid edges of
+    each receiver i, with kmask zero where a row has fewer than K edges.
+    Self-edges (d=0) are selected first, as in the reference adjacency.
     """
-    k = min(k, x.shape[-2])
+    n = x.shape[-2]
+    k = min(k, n)
     d2 = jnp.sum((x[..., :, None, :] - x[..., None, :, :]) ** 2, axis=-1)
     score = jnp.where(edge_mask > 0, -d2, -jnp.inf)
     _, idx = jax.lax.top_k(score, k)
-    kmask = jnp.take_along_axis(edge_mask, idx, axis=-1)
-    return idx, kmask
+    onehot = jax.nn.one_hot(idx, n, dtype=dtype)
+    kmask = jnp.einsum("bikn,bin->bik", onehot, edge_mask.astype(dtype))
+    return onehot, kmask
 
 
 def _silu_dtype(cfg):
@@ -92,13 +102,13 @@ class PairFirstLayer(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, h, e, idx=None):
+    def __call__(self, h, e, nbr=None):
         wi = nn.Dense(self.features, use_bias=False, dtype=self.dtype, name="w_i")(h)
         wj = nn.Dense(self.features, use_bias=True, dtype=self.dtype, name="w_j")(h)
         we = nn.Dense(self.features, use_bias=False, dtype=self.dtype, name="w_e")(e)
-        if idx is None:
+        if nbr is None:
             return wi[..., :, None, :] + wj[..., None, :, :] + we
-        return wi[..., :, None, :] + gather_nodes(wj, idx) + we
+        return wi[..., :, None, :] + gather_nodes(wj, nbr) + we
 
 
 def _aggregate(msg, edge_mask, cfg: EGNNConfig):
@@ -126,11 +136,11 @@ class GCL(nn.Module):
     cfg: EGNNConfig
 
     @nn.compact
-    def __call__(self, h, edge_attr, edge_mask, idx=None):
+    def __call__(self, h, edge_attr, edge_mask, nbr=None):
         cfg = self.cfg
         dt = cfg.compute_dtype
         # edge model: mlp([h_i, h_j, e]) with SiLU activations
-        mij = PairFirstLayer(cfg.hidden_nf, dtype=dt, name="edge_in")(h, edge_attr, idx)
+        mij = PairFirstLayer(cfg.hidden_nf, dtype=dt, name="edge_in")(h, edge_attr, nbr)
         mij = nn.silu(mij)
         mij = nn.Dense(cfg.hidden_nf, dtype=dt, name="edge_out")(mij)
         mij = nn.silu(mij)
@@ -155,10 +165,10 @@ class EquivariantUpdate(nn.Module):
 
     @nn.compact
     def __call__(self, h, x, coord_diff, edge_attr, edge_mask,
-                 update_coords_mask, idx=None):
+                 update_coords_mask, nbr=None):
         cfg = self.cfg
         dt = cfg.compute_dtype
-        out = PairFirstLayer(cfg.hidden_nf, dtype=dt, name="coord_in")(h, edge_attr, idx)
+        out = PairFirstLayer(cfg.hidden_nf, dtype=dt, name="coord_in")(h, edge_attr, nbr)
         out = nn.silu(out)
         out = nn.Dense(cfg.hidden_nf, dtype=dt, name="coord_mid")(out)
         out = nn.silu(out)
@@ -202,12 +212,12 @@ class EquivariantBlock(nn.Module):
 
     @nn.compact
     def __call__(self, h, x, dist0, edge_mask, node_mask, update_coords_mask,
-                 idx=None):
+                 nbr=None):
         cfg = self.cfg
-        if idx is None:
+        if nbr is None:
             radial, coord_diff = coord2diff(x, cfg.norm_constant)
         else:
-            x_j = gather_nodes(x, idx)
+            x_j = gather_nodes(x, nbr.astype(x.dtype))
             diff = x[..., :, None, :] - x_j
             radial = jnp.sum(diff**2, axis=-1, keepdims=True)
             coord_diff = diff / (jnp.sqrt(radial + 1e-8) + cfg.norm_constant)
@@ -215,10 +225,10 @@ class EquivariantBlock(nn.Module):
             [radial.astype(cfg.compute_dtype), dist0], axis=-1
         )
         for i in range(cfg.inv_sublayers):
-            h = GCL(cfg, name=f"gcl_{i}")(h, edge_attr, edge_mask, idx)
+            h = GCL(cfg, name=f"gcl_{i}")(h, edge_attr, edge_mask, nbr)
             h = h * node_mask[..., None]
         x = EquivariantUpdate(cfg, self.coords_range_layer, name="coord_update")(
-            h, x, coord_diff, edge_attr, edge_mask, update_coords_mask, idx
+            h, x, coord_diff, edge_attr, edge_mask, update_coords_mask, nbr
         )
         x = x * node_mask[..., None]
         h = h * node_mask[..., None]
@@ -252,22 +262,24 @@ class EGNN(nn.Module):
             # fixed-K neighbor list from the entry coordinates (the same
             # coordinates the cutoff adjacency is built from); the dense
             # [B,N,N] edge mask reduces to a gathered [B,N,K] mask and the
-            # per-block pair tensors shrink from N to K columns.
-            idx, kmask = build_neighbor_list(x, edge_mask, cfg.neighbor_k)
-            x_j0 = gather_nodes(x, idx)
+            # per-block pair tensors shrink from N to K columns. The list is
+            # carried as a one-hot selection matrix so every gather is an
+            # MXU matmul (see gather_nodes).
+            nbr, kmask = build_neighbor_list(x, edge_mask, cfg.neighbor_k, dt)
+            x_j0 = gather_nodes(x, nbr.astype(x.dtype))
             dist0 = jnp.sum(
                 (x[..., :, None, :] - x_j0) ** 2, axis=-1, keepdims=True
             )
             edge_mask = kmask
         else:
-            idx = None
+            nbr = None
             dist0, _ = coord2diff(x)
         dist0 = dist0.astype(dt)
         h = nn.Dense(cfg.hidden_nf, dtype=dt, name="embedding")(h.astype(dt))
         block_cls = nn.remat(EquivariantBlock) if self.remat else EquivariantBlock
         for i in range(cfg.n_layers):
             h, x = block_cls(cfg, coords_range_layer, name=f"e_block_{i}")(
-                h, x, dist0, edge_mask, node_mask, update_coords_mask, idx
+                h, x, dist0, edge_mask, node_mask, update_coords_mask, nbr
             )
         h = nn.Dense(self.out_node_nf, dtype=dt, name="embedding_out")(h)
         h = h * node_mask[..., None]
