@@ -1,0 +1,176 @@
+"""End-to-end OVERLAPPED pipeline throughput: one measured molecules/min.
+
+Runs pipeline/run_all.py (sampling -> consensus -> decode -> canonicalize/
+match -> embed+align, streaming across threads) on flagship-size models and
+prints the aggregate aligned-molecules/min the machinery sustains — the
+second north star (>= 1k/min, BASELINE.json). This replaces the per-stage
+estimates of e2e_stages.py with a single wall-clock number.
+
+Weights are untrained, so the *content* coming out of the models is noise;
+every stage's device cost is real, but two content hand-offs are pinned to
+realistic fixtures so molecules actually flow through feature matching:
+  - the consensus hypothesis is a fixed drug-like 4-point pharmacophore
+    (the GMM fit still runs and is timed; its random types are discarded),
+  - decoded token tensors are fetched from device (decode cost is real),
+    then the text is substituted from a 400-molecule drug-like SMILES pool
+    (a trained GCPG emits mostly-valid, mostly-unique SMILES; an untrained
+    one emits nothing alignable).
+
+Run: python benchmarks/e2e_overlap.py [--quick] [--pockets N]
+"""
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def build_smiles_pool(n_min: int = 400):
+    """Distinct, valid, drug-sized SMILES from combinatorial templates."""
+    from cmdgen_tpu.chem.mol import canonical_smiles
+
+    cores = [
+        "c1ccc({H})cc1{T}", "c1ccc2cc({H})ccc2c1{T}", "c1ccnc({H})c1{T}",
+        "C1CCC({H})CC1{T}", "c1csc({H})c1{T}", "c1ccc({H})nc1{T}",
+    ]
+    heads = ["CC", "CCC", "CCCC", "CC(C)", "CCO", "CCN", "COC", "CC(C)C"]
+    tails = [
+        "O", "N", "OC", "C(=O)O", "C(=O)OC", "C(=O)N", "N(C)C",
+        "S(=O)(=O)N", "CO", "CCO",
+    ]
+    pool = []
+    seen = set()
+    for c in cores:
+        for h in heads:
+            for t in tails:
+                s = c.replace("{H}", h).replace("{T}", t)
+                canon = canonical_smiles(s)
+                if canon and canon not in seen:
+                    seen.add(canon)
+                    pool.append(canon)
+    assert len(pool) >= n_min, len(pool)
+    return pool
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--quick", action="store_true")
+    ap.add_argument("--pockets", type=int, default=3)
+    ap.add_argument("--timesteps", type=int, default=500)
+    args = ap.parse_args()
+
+    from cmdgen_tpu.chem.tokenizer import Tokenizer, gen_vocabs
+    from cmdgen_tpu.config import GCPGModelConfig, ca_config
+    from cmdgen_tpu.diffusion.cddpm import ConditionalDDPM
+    from cmdgen_tpu.models.dynamics import EGNNDynamics
+    from cmdgen_tpu.models.gcpg import GCPG
+    from cmdgen_tpu.pipeline import run_all
+    from cmdgen_tpu.utils.synthetic import realistic_ca_pocket
+
+    pool = build_smiles_pool()
+    print(f"# smiles pool: {len(pool)}")
+
+    # ---- flagship diffusion model (CA config, neighbor-list engine)
+    cfg = ca_config()
+    egnn = dataclasses.replace(
+        cfg.dynamics.egnn, compute_dtype=jnp.bfloat16, neighbor_k=16
+    )
+    dyn_cfg = dataclasses.replace(cfg.dynamics, egnn=egnn)
+    dynamics = EGNNDynamics(dyn_cfg)
+    diff_model = ConditionalDDPM(cfg.ddpm, dynamics)
+    n_q, n_p = 110, 8
+    b = 64
+    diff_params = dynamics.init(
+        jax.random.PRNGKey(0),
+        jnp.zeros((b, n_p, 3 + dyn_cfg.phar_nf)),
+        jnp.zeros((b, n_q, 3 + dyn_cfg.residue_nf)),
+        jnp.zeros((b, 1)), jnp.ones((b, n_p)), jnp.ones((b, n_q)),
+    )
+
+    # ---- flagship GCPG
+    tok = Tokenizer(gen_vocabs(pool))
+    gcfg = GCPGModelConfig()
+    gmodel = GCPG(gcfg, vocab_size=len(tok))
+    gb = 2
+    gparams = gmodel.init(
+        jax.random.PRNGKey(2), jax.random.PRNGKey(3),
+        jnp.zeros((gb, 8), jnp.int32), jnp.ones((gb, 8)),
+        jnp.zeros((gb, 8, 8)), jnp.zeros((gb, 8, 8, 1)), jnp.ones((gb, 8)),
+        jnp.zeros((gb, 8), jnp.int32), jnp.zeros((gb, 7)),
+    )
+
+    # ---- content pins (see module docstring)
+    from cmdgen_tpu.pipeline.get_phar import consensus_gmm
+
+    def pinned_consensus(coords, families, n_clusters=4, seed=0):
+        consensus_gmm(coords, families, n_clusters=n_clusters, seed=seed)
+        return [
+            ("AROM", np.array([0.0, 0.0, 0.0], np.float32)),
+            ("HYBL", np.array([3.5, 0.5, 0.0], np.float32)),
+            ("HACC", np.array([5.5, 2.0, 1.0], np.float32)),
+            ("HDON", np.array([1.0, 4.0, 0.5], np.float32)),
+        ][: max(2, n_clusters)]
+
+    run_all._CONSENSUS = dict(run_all._CONSENSUS, gmm=pinned_consensus)
+
+    counter = [0]
+    orig_get_text = Tokenizer.get_text
+
+    def pooled_get_text(self, predictions):
+        orig_get_text(self, predictions)  # real detokenization cost
+        out = []
+        for _ in range(len(predictions)):
+            out.append(pool[counter[0] % len(pool)])
+            counter[0] += 1
+        return out
+
+    tok.get_text = pooled_get_text.__get__(tok)
+
+    pcfg = run_all.PipelineConfig(
+        n_clouds_per_pocket=16 if args.quick else 64,
+        diff_timesteps=50 if args.quick else args.timesteps,
+        n_phar_max=n_p,
+        cluster_counts=(4,) if args.quick else (4, 4),
+        smiles_per_hypothesis=128 if args.quick else 512,
+        decode_batch=128 if args.quick else 256,
+        n_conformers=3 if args.quick else 5,
+        refine_steps=100,
+        align_chunk=32 if args.quick else 64,
+    )
+    rngnp = np.random.RandomState(0)
+    mk_pocket = lambda i: (
+        realistic_ca_pocket(np.random.RandomState(i), n_q),
+        np.eye(20, dtype=np.float32)[rngnp.randint(0, 20, n_q)],
+    )
+
+    # warmup: compile every jit shape once (excluded from the measurement)
+    t0 = time.perf_counter()
+    _, warm_stats = run_all.run_pipeline(
+        diff_model, diff_params, gmodel, gparams, tok,
+        [mk_pocket(99)], jax.random.PRNGKey(1), pcfg,
+    )
+    print(f"# warmup: {time.perf_counter()-t0:.1f}s {warm_stats}")
+
+    n_pockets = 1 if args.quick else args.pockets
+    pockets = [mk_pocket(i) for i in range(n_pockets)]
+    results, stats = run_all.run_pipeline(
+        diff_model, diff_params, gmodel, gparams, tok,
+        pockets, jax.random.PRNGKey(7), pcfg,
+    )
+    stats["vs_target_1k_per_min"] = round(
+        stats["aligned_mols_per_min"] / 1000.0, 3
+    )
+    print(json.dumps(stats))
+
+
+if __name__ == "__main__":
+    main()

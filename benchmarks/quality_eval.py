@@ -1,0 +1,224 @@
+"""Round-2 quality-parity baselines (VERDICT r1 item 7).
+
+Trains both models at the largest in-session scale and runs the reference
+eval suites end to end, printing ONE JSON line of measured quality metrics
+(not loss curves):
+
+- GCPG (reference eval: GCPG/utils/match_eval.py:187-198 +
+  test_generation.py): train on a generated drug-fragment corpus, then
+  validity / uniqueness / novelty / internal diversity / pharmacophore
+  match rate on held-out test pharmacophores.
+- DiffPhar (reference eval: DiffPhar/test.py:34-227): train the conditional
+  DDPM on a synthetic-but-structured pocket/pharmacophore dataset with a
+  fixed type histogram, then type-KL and CoM/spread distribution metrics
+  via pipeline/evaluate.eval_diffphar.
+
+Corpora are synthetic (no ChEMBL/CrossDocked in this environment — the
+machinery, losses, and eval chain are the real thing; the chemistry is
+fragment-grammar molecules).
+
+Run: python benchmarks/quality_eval.py [--quick]
+"""
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import pathlib
+import random
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1]))
+
+import jax
+import numpy as np
+
+
+def make_corpus(n=8000, seed=0, max_atoms=38):
+    """Drug-fragment-grammar molecules: ring cores with substituents plus
+    fragment chains — richer than train_demo's (branches, heterocycles,
+    multiple rings), sized like ChEMBL drugs."""
+    from cmdgen_tpu.chem.mol import canonical_smiles, mol_from_smiles
+
+    rng = random.Random(seed)
+    cores = [
+        "c1ccccc1", "c1ccncc1", "c1cncnc1", "c1cc[nH]c1", "c1ccoc1",
+        "c1ccsc1", "C1CCCCC1", "C1CCNCC1", "C1CCOCC1", "C1CNCCN1",
+        "c1ccc2ccccc2c1", "c1ccc2[nH]ccc2c1",
+    ]
+    subs = [
+        "C", "CC", "CCC", "C(C)C", "O", "OC", "OCC", "N", "NC", "N(C)C",
+        "F", "Cl", "Br", "C(=O)O", "C(=O)OC", "C(=O)N", "C(=O)NC", "C#N",
+        "S(=O)(=O)N", "C(F)(F)F", "CO", "CN", "CCO", "CCN",
+    ]
+    links = ["", "C", "CC", "O", "N", "C(=O)", "C(=O)N", "OC", "S"]
+    out = set()
+    attempts = 0
+    while len(out) < n and attempts < 60 * n:
+        attempts += 1
+        # head-core-link-tail, optionally with a second core (biaryl-likes)
+        s = rng.choice(subs) + rng.choice(cores) + rng.choice(links)
+        if rng.random() < 0.35:
+            # second ring system: bump its ring-bond digit to keep ids unique
+            s += rng.choice(cores).replace("1", "2") + rng.choice(links)
+        s += rng.choice(subs)
+        c = canonical_smiles(s)
+        if not c:
+            continue
+        m = mol_from_smiles(c)
+        if m is None or not (8 <= m.n_atoms <= max_atoms):
+            continue
+        out.add(c)
+    return sorted(out)
+
+
+def gcpg_quality(quick=False):
+    from cmdgen_tpu.config import GCPGModelConfig, GCPGTrainConfig
+    from cmdgen_tpu.pipeline.evaluate import eval_gcpg
+    from cmdgen_tpu.train.gcpg_train import train_gcpg
+
+    corpus = make_corpus(600 if quick else 8000)
+    rng = random.Random(1)
+    rng.shuffle(corpus)
+    n_test = max(32, len(corpus) // 20)
+    test, train = corpus[:n_test], corpus[n_test:]
+
+    mcfg = GCPGModelConfig(
+        max_len=80,
+        hidden_dim=128 if quick else 256,
+        n_layers=2 if quick else 6,
+        ff_dim=256 if quick else 512,
+        n_head=8,
+        pp_encoder_n_layer=2 if quick else 3,
+        dropout=0.1,
+    )
+    n_epochs = 2 if quick else 40
+    tcfg = GCPGTrainConfig(
+        batch_size=128, n_epochs=n_epochs, lr=5e-4, cosine_t_max=n_epochs,
+    )
+    with tempfile.TemporaryDirectory() as tmp:
+        t0 = time.time()
+        params, model, tok = train_gcpg(mcfg, tcfg, train, {}, tmp)
+        train_s = time.time() - t0
+    res = eval_gcpg(
+        model, params, tok, jax.random.PRNGKey(3), test,
+        n_molecules=32 if quick else 128,
+        train_set=set(train), match_workers=4,
+    )
+    res = {f"gcpg_{k}": round(float(v), 4) for k, v in res.items()}
+    res["gcpg_train_seconds"] = round(train_s, 1)
+    res["gcpg_n_train"] = len(train)
+    return res
+
+
+# reference-like pharmacophore type marginals (constants.py histograms)
+TYPE_PROBS = np.array([0.21, 0.17, 0.04, 0.22, 0.14, 0.12, 0.05, 0.05])
+
+
+def make_diffphar_dataset(out_dir, n_complexes=600, seed=0):
+    """Synthetic structured pocket/pharmacophore npz splits: pockets are
+    realistic CA shells; pharmacophore points sit at inward-shifted pocket
+    anchors with types drawn from a fixed histogram (the distribution the
+    type-KL eval measures against)."""
+    from cmdgen_tpu.data.crossdocked import write_split_npz
+    from cmdgen_tpu.utils.synthetic import realistic_ca_pocket
+
+    rng = np.random.RandomState(seed)
+    out_dir = pathlib.Path(out_dir)
+    out_dir.mkdir(parents=True, exist_ok=True)
+    splits = {"train": int(n_complexes * 0.9),
+              "val": max(8, int(n_complexes * 0.05)),
+              "test": max(8, int(n_complexes * 0.05))}
+    sizes = []
+    idx = 0
+    for split, count in splits.items():
+        complexes, names = [], []
+        for _ in range(count):
+            n_q = rng.randint(90, 128)
+            pocket = realistic_ca_pocket(np.random.RandomState(idx), n_q)
+            n_p = rng.randint(3, 9)
+            anchors = pocket[rng.choice(n_q, n_p, replace=False)]
+            phar = anchors * 0.45 + rng.randn(n_p, 3) * 0.8
+            types = rng.choice(8, n_p, p=TYPE_PROBS)
+            joint = np.concatenate([phar, pocket])
+            com = joint.mean(0, keepdims=True)
+            complexes.append({
+                "phar_coords": (phar - com).astype(np.float32),
+                "phar_one_hot": np.eye(8, dtype=np.float32)[types],
+                "pocket_c_alpha": (pocket - com).astype(np.float32),
+                "pocket_one_hot": np.eye(20, dtype=np.float32)[
+                    rng.randint(0, 20, n_q)
+                ],
+            })
+            names.append(f"synth_{idx}")
+            sizes.append((n_p, n_q))
+            idx += 1
+        write_split_npz(out_dir / f"{split}.npz", names, complexes)
+    # joint size histogram (n_phar x n_pocket), as preprocessing writes
+    n_max_p = max(s[0] for s in sizes) + 1
+    n_max_q = max(s[1] for s in sizes) + 1
+    hist = np.zeros((n_max_p, n_max_q))
+    for p, q in sizes:
+        hist[p, q] += 1
+    np.save(out_dir / "size_distribution.npy", hist / hist.sum())
+    return out_dir
+
+
+def diffphar_quality(quick=False):
+    from cmdgen_tpu import config as cfgmod
+    from cmdgen_tpu.data.dataset import DiffPharDataset
+    from cmdgen_tpu.models.egnn import EGNNConfig
+    from cmdgen_tpu.pipeline.evaluate import eval_diffphar
+    from cmdgen_tpu.train.diffphar_train import build_model, train_diffphar
+
+    cfg = cfgmod.ca_config()
+    cfg = dataclasses.replace(
+        cfg,
+        dynamics=dataclasses.replace(
+            cfg.dynamics,
+            egnn=EGNNConfig(
+                hidden_nf=64 if quick else 128,
+                n_layers=1 if quick else 3,
+                inv_sublayers=1,
+            ),
+        ),
+        ddpm=dataclasses.replace(cfg.ddpm, timesteps=20 if quick else 100),
+        train=dataclasses.replace(
+            cfg.train, batch_size=16, n_epochs=2 if quick else 12,
+            lr=3e-4, clip_grad=True,
+        ),
+    )
+    with tempfile.TemporaryDirectory() as tmp:
+        data = make_diffphar_dataset(
+            pathlib.Path(tmp) / "data", 60 if quick else 600
+        )
+        t0 = time.time()
+        params = train_diffphar(cfg, data, pathlib.Path(tmp) / "ckpt")
+        train_s = time.time() - t0
+        model = build_model(cfg)
+        test_ds = DiffPharDataset(data / "test.npz")
+        res = eval_diffphar(
+            model, params, jax.random.PRNGKey(9), test_ds,
+            n_pockets=4 if quick else 16,
+            n_samples_per_pocket=4,
+        )
+    out = {f"diffphar_{k}": round(float(v), 4) for k, v in res.items()}
+    out["diffphar_train_seconds"] = round(train_s, 1)
+    return out
+
+
+if __name__ == "__main__":
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--quick", action="store_true")
+    ap.add_argument("--skip-diffphar", action="store_true")
+    ap.add_argument("--skip-gcpg", action="store_true")
+    args = ap.parse_args()
+    out = {}
+    if not args.skip_diffphar:
+        out.update(diffphar_quality(args.quick))
+        print("# diffphar done:", json.dumps(out))
+    if not args.skip_gcpg:
+        out.update(gcpg_quality(args.quick))
+    print(json.dumps(out))

@@ -59,22 +59,21 @@ def _format_type(types: List[str], rng: _random.Random):
     return tp, float(size)
 
 
-def load_posp(path, rng: Optional[_random.Random] = None):
-    """Parse a .posp file -> (pp_h [8,8], pp_e [8,8,1], pp_mask [8])."""
+def points_to_graph(type_names: List[str], coords: np.ndarray,
+                    rng: Optional[_random.Random] = None):
+    """In-memory hypothesis (type codes + 3-D coords) ->
+    (pp_h [8,8], pp_e [8,8,1], pp_mask [8]) — the .posp semantics without
+    the file round-trip (used by the overlapped pipeline driver)."""
     rng = rng or _random.Random()
-    path = Path(path)
-    types, sizes, pos = [], [], []
-    for line in path.read_text().strip().split("\n"):
-        parts = line.strip().split(" ")
-        tnames, x, y, z = parts[0], *parts[-3:]
+    k = len(type_names)
+    if k > MAX_NUM_PP_GRAPHS:
+        raise ValueError(f"{k} points > {MAX_NUM_PP_GRAPHS}")
+    types, sizes = [], []
+    for tnames in type_names:
         tp, size = _format_type(tnames.strip().split(" "), rng)
         types.append(tp)
         sizes.append(size)
-        pos.append((float(x), float(y), float(z)))
-    k = len(types)
-    if k > MAX_NUM_PP_GRAPHS:
-        raise ValueError(f"{path}: {k} points > {MAX_NUM_PP_GRAPHS}")
-    pos = np.asarray(pos)
+    pos = np.asarray(coords, dtype=np.float64)
     dist = np.zeros((MAX_NUM_PP_GRAPHS, MAX_NUM_PP_GRAPHS), dtype=np.float32)
     for i in range(k):
         for j in range(i + 1, k):
@@ -86,6 +85,20 @@ def load_posp(path, rng: Optional[_random.Random] = None):
     mask = np.zeros((MAX_NUM_PP_GRAPHS,), dtype=np.float32)
     mask[:k] = 1.0
     return pp_h, dist[..., None], mask
+
+
+def load_posp(path, rng: Optional[_random.Random] = None):
+    """Parse a .posp file -> (pp_h [8,8], pp_e [8,8,1], pp_mask [8])."""
+    path = Path(path)
+    tnames, pos = [], []
+    for line in path.read_text().strip().split("\n"):
+        parts = line.strip().split(" ")
+        tnames.append(parts[0])
+        pos.append(tuple(float(v) for v in parts[-3:]))
+    try:
+        return points_to_graph(tnames, np.asarray(pos), rng)
+    except ValueError as e:
+        raise ValueError(f"{path}: {e}") from None
 
 
 def load_edgep(path, rng: Optional[_random.Random] = None):

@@ -12,6 +12,7 @@ pharmacophore embedding constraints).
 """
 from __future__ import annotations
 
+import functools
 from typing import List, Optional, Sequence, Tuple
 
 import jax
@@ -106,12 +107,47 @@ def _classical_mds(d2: jnp.ndarray) -> jnp.ndarray:
     return v * jnp.sqrt(jnp.maximum(top, 1e-6))[None, :]
 
 
+def _mds_top3(d2: jnp.ndarray, key: jax.Array, iters: int = 15) -> jnp.ndarray:
+    """3-D MDS embedding via subspace iteration on the metric matrix.
+
+    Same init as ``_classical_mds`` but computes only the top-3 eigenpairs
+    with Gershgorin-shifted subspace iteration (iters × [n,n]@[n,3] matmuls
+    + a thin QR). A full batched ``eigh`` is the dominant cost of the padded
+    embedding path on TPU; the refinement that follows forgives the
+    approximation (the MDS output is only an initializer).
+    """
+    n = d2.shape[0]
+    j = jnp.eye(n) - jnp.ones((n, n)) / n
+    b = -0.5 * j @ d2 @ j
+    # shift so all eigenvalues are >= 0: subspace iteration then converges
+    # to the algebraically largest three of b
+    s = jnp.max(jnp.sum(jnp.abs(b), axis=-1))
+    bs = b + s * jnp.eye(n)
+    v = jax.random.normal(key, (n, 3))
+
+    def _orth3(w):
+        # 3-column modified Gram-Schmidt: plain vector ops (TPU's QR is a
+        # slow unbatched custom call and dominated the embedding wall time)
+        q0 = w[:, 0] / (jnp.linalg.norm(w[:, 0]) + 1e-12)
+        w1 = w[:, 1] - q0 * jnp.dot(q0, w[:, 1])
+        q1 = w1 / (jnp.linalg.norm(w1) + 1e-12)
+        w2 = w[:, 2] - q0 * jnp.dot(q0, w[:, 2]) - q1 * jnp.dot(q1, w[:, 2])
+        q2 = w2 / (jnp.linalg.norm(w2) + 1e-12)
+        return jnp.stack([q0, q1, q2], axis=1)
+
+    for _ in range(iters):
+        v = _orth3(bs @ v)
+    lam = jnp.sum(v * (b @ v), axis=0)  # Rayleigh quotients under b
+    return v * jnp.sqrt(jnp.maximum(lam, 1e-6))[None, :]
+
+
 def embed_conformers(
     mol: Mol,
     n_conformers: int,
     rng: jax.Array,
     refine_steps: int = 200,
     lr: float = 0.05,
+    momentum: float = 0.75,
     centroid_groups: Optional[Sequence[Sequence[int]]] = None,
     centroid_targets: Optional[np.ndarray] = None,
     centroid_weight: float = 1.0,
@@ -137,14 +173,31 @@ def embed_conformers(
                 gm[k, a] = 1.0 / len(atoms)
         groups = jnp.asarray(gm)
         targets = jnp.asarray(centroid_targets, dtype=jnp.float32)
+    return _embed_from_bounds(
+        lo, up, groups, targets, n_conformers, rng,
+        refine_steps, lr, momentum, centroid_weight,
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "n_conformers", "refine_steps", "lr", "momentum", "centroid_weight"
+    ),
+)
+def _embed_from_bounds(lo, up, groups, targets, n_conformers, rng,
+                       refine_steps, lr, momentum, centroid_weight):
+    """Device half of ``embed_conformers`` (jitted — eagerly, the vmapped
+    MDS dispatches hundreds of small ops and launch latency dominates)."""
+    n = lo.shape[0]
 
     def one(key):
-        k1, k2 = jax.random.split(key)
+        k1, k2, k3 = jax.random.split(key, 3)
         u = jax.random.uniform(k1, (n, n))
         d = lo + u * (up - lo)
         d = (d + d.T) / 2.0
         d = d.at[jnp.diag_indices(n)].set(0.0)
-        x0 = _classical_mds(d * d)
+        x0 = _mds_top3(d * d, k3)
         x0 = x0 + 0.05 * jax.random.normal(k2, x0.shape)
 
         def loss(x):
@@ -167,17 +220,28 @@ def embed_conformers(
                 )
             return l
 
-        def step(x, _):
-            g = jax.grad(loss)(x)
-            return x - lr * g, None
+        # heavy-ball gradient descent: ~2x fewer steps than plain GD for
+        # the same bound-violation level on these quadratic-penalty losses
+        def step(carry, _):
+            x, v = carry
+            v = momentum * v - lr * jax.grad(loss)(x)
+            return (x + v, v), None
 
-        x, _ = jax.lax.scan(step, x0, None, length=refine_steps)
+        (x, _), _ = jax.lax.scan(
+            step, (x0, jnp.zeros_like(x0)), None, length=refine_steps
+        )
         return x
 
     keys = jax.random.split(rng, n_conformers)
     return jax.vmap(one)(keys)
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "n_conformers", "refine_steps", "lr", "momentum", "centroid_weight"
+    ),
+)
 def embed_conformers_padded(
     lo: jnp.ndarray,       # [M, Nb, Nb] lower bounds (0 on padded pairs)
     up: jnp.ndarray,       # [M, Nb, Nb] upper bounds
@@ -186,12 +250,15 @@ def embed_conformers_padded(
     rng: jax.Array,
     refine_steps: int = 200,
     lr: float = 0.05,
+    momentum: float = 0.75,
     groups: Optional[jnp.ndarray] = None,    # [M, G, Nb] centroid weights
     targets: Optional[jnp.ndarray] = None,   # [M, G, G] target distances
     group_mask: Optional[jnp.ndarray] = None,  # [M, G]
     centroid_weight: float = 1.0,
 ) -> jnp.ndarray:
-    """Batched embedding: M molecules × n_conformers in ONE jit call.
+    """Batched embedding: M molecules × n_conformers in ONE jit call
+    (jitted here — run eagerly, the vmapped MDS dispatches hundreds of
+    small ops per call, which costs seconds of launch latency on TPU).
 
     Molecules are padded to a common atom count so the whole PharAlign
     stage compiles once per size bucket instead of once per molecule
@@ -204,12 +271,12 @@ def embed_conformers_padded(
     pair_valid = pairm * off_diag
 
     def one(lo_i, up_i, pv_i, g_i, t_i, gm_i, key):
-        k1, k2 = jax.random.split(key)
+        k1, k2, k3 = jax.random.split(key, 3)
         u = jax.random.uniform(k1, (nb, nb))
         d = lo_i + u * (up_i - lo_i)
         d = (d + d.T) / 2.0
         d = d * pv_i  # padded pairs at distance 0
-        x0 = _classical_mds(d * d)
+        x0 = _mds_top3(d * d, k3)
         x0 = x0 + 0.05 * jax.random.normal(k2, x0.shape)
 
         def loss(x):
@@ -230,10 +297,14 @@ def embed_conformers_padded(
                 )
             return l
 
-        def step(x, _):
-            return x - lr * jax.grad(loss)(x), None
+        def step(carry, _):
+            x, v = carry
+            v = momentum * v - lr * jax.grad(loss)(x)
+            return (x + v, v), None
 
-        x, _ = jax.lax.scan(step, x0, None, length=refine_steps)
+        (x, _), _ = jax.lax.scan(
+            step, (x0, jnp.zeros_like(x0)), None, length=refine_steps
+        )
         return x
 
     keys = jax.random.split(rng, m * n_conformers).reshape(m, n_conformers, 2)

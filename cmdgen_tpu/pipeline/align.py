@@ -150,39 +150,47 @@ def align_molecule(
     return results[:num_keep]
 
 
-def align_batch(
-    smiles_list: Sequence[str],
-    pp_coords: np.ndarray,
-    pp_types: Sequence[str],
-    rng: jax.Array,
-    n_conformers: int = 10,
-    num_keep: int = 3,
-    refine_steps: int = 200,
-    bucket: int = 16,
-):
-    """Batched alignment: all molecules of a size bucket embed in ONE jit
-    call (ops/dgeom.py:embed_conformers_padded) — the per-molecule path
-    recompiles for every atom count and was the pipeline bottleneck.
-
-    Returns {index: [(rmsd, aligned conformer coords [n_atoms,3]), ...]}.
-    """
-    from cmdgen_tpu.ops.dgeom import embed_conformers_padded, padded_bounds
-
-    k = len(pp_types)
-    targets_full = np.sqrt(
-        ((pp_coords[:, None, :] - pp_coords[None, :, :]) ** 2).sum(-1)
-    ).astype(np.float32)
-
-    # parse + match features host-side
-    entries = []  # (idx, mol, groups)
+def prepare_align_entries(
+    smiles_list: Sequence[str], pp_types: Sequence[str]
+) -> List[Tuple[int, Mol, List[Tuple[int, ...]]]]:
+    """Host half of batched alignment: parse each SMILES and match its
+    perceived features to the pharmacophore point types. Returns
+    [(index, mol, atom groups)] for the molecules that matched — pure
+    Python, safe to run on a worker thread while the device aligns the
+    previous batch."""
+    entries = []
     for i, s in enumerate(smiles_list):
-        mol = mol_from_smiles(s)
+        mol = mol_from_smiles(s) if isinstance(s, str) else s
         if mol is None:
             continue
         groups = match_features_to_points(mol, pp_types)
         if groups is None:
             continue
         entries.append((i, mol, groups))
+    return entries
+
+
+def align_entries(
+    entries: Sequence[Tuple[int, Mol, List[Tuple[int, ...]]]],
+    pp_coords: np.ndarray,
+    rng: jax.Array,
+    n_conformers: int = 10,
+    num_keep: int = 3,
+    refine_steps: int = 200,
+    bucket: int = 16,
+) -> Dict[int, list]:
+    """Device half of batched alignment: embed + Kabsch the prepared
+    entries (one jit call per size bucket).
+
+    Returns {index: [(rmsd, aligned conformer coords [n_atoms,3]), ...]}.
+    """
+    from cmdgen_tpu.ops.dgeom import embed_conformers_padded, padded_bounds
+
+    k = pp_coords.shape[0]
+    targets_full = np.sqrt(
+        ((pp_coords[:, None, :] - pp_coords[None, :, :]) ** 2).sum(-1)
+    ).astype(np.float32)
+
     results: Dict[int, list] = {}
     if not entries:
         return results
@@ -233,6 +241,30 @@ def align_batch(
                 res.append((float(errs[mi, c]), coords))
             results[idx] = res
     return results
+
+
+def align_batch(
+    smiles_list: Sequence[str],
+    pp_coords: np.ndarray,
+    pp_types: Sequence[str],
+    rng: jax.Array,
+    n_conformers: int = 10,
+    num_keep: int = 3,
+    refine_steps: int = 200,
+    bucket: int = 16,
+):
+    """Batched alignment: all molecules of a size bucket embed in ONE jit
+    call (ops/dgeom.py:embed_conformers_padded) — the per-molecule path
+    recompiles for every atom count and was the pipeline bottleneck.
+
+    Returns {index: [(rmsd, aligned conformer coords [n_atoms,3]), ...]}.
+    """
+    entries = prepare_align_entries(smiles_list, pp_types)
+    return align_entries(
+        entries, np.asarray(pp_coords, dtype=np.float32), rng,
+        n_conformers=n_conformers, num_keep=num_keep,
+        refine_steps=refine_steps, bucket=bucket,
+    )
 
 
 def align_smiles_list(

@@ -1,0 +1,260 @@
+"""Overlapped end-to-end driver: pockets -> aligned, posed molecules.
+
+The reference runs this pipeline as separate scripts with files in between
+(SURVEY.md §1: DiffPhar/generate_phars.py -> get_phar/GMM_json.py ->
+GCPG/generate.py -> PharAlign/align_test_wrn.py). This module runs the same
+four stages as ONE streaming driver: the three TPU stages (diffusion
+sampling, GCPG decode, conformer embed+align) dispatch to the device from
+their own threads, while host chemistry (consensus typing,
+canonicalization, dedup, feature matching) runs concurrently on the
+preparer thread — the chip never waits on the host and end-to-end
+aligned-molecules/min is a measured number, not a per-stage estimate.
+
+Stage hand-offs are bounded queues (backpressure instead of unbounded
+buffering). Device work from multiple threads serializes on the one chip;
+overlap hides the host time, and the TPU time per molecule is the sum of
+the per-stage device costs (decode ~5 ms + align, with sampling amortized
+over every molecule a hypothesis fans out into).
+"""
+from __future__ import annotations
+
+import dataclasses
+import queue
+import random as _random
+import threading
+import time
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from cmdgen_tpu.chem.mol import canonical_smiles
+from cmdgen_tpu.chem.posp import points_to_graph
+from cmdgen_tpu.chem.tokenizer import Tokenizer
+from cmdgen_tpu.models import gcpg as gcpg_mod
+from cmdgen_tpu.pipeline.align import align_entries, prepare_align_entries
+from cmdgen_tpu.pipeline.generate_smiles import condition_grid
+from cmdgen_tpu.pipeline.get_phar import (
+    consensus_dbscan,
+    consensus_gmm,
+    consensus_kmeans,
+)
+from cmdgen_tpu.pipeline.sample_phars import sample_pharmacophores
+
+_SENTINEL = object()
+
+
+@dataclasses.dataclass
+class PipelineConfig:
+    """Knobs of the overlapped driver (throughput/quality trade-offs)."""
+
+    n_clouds_per_pocket: int = 64       # stage-1 samples per pocket
+    diff_timesteps: Optional[int] = None  # None => model default (T)
+    n_phar_max: int = 8
+    cluster_counts: Sequence[int] = (4, 5, 6)  # one hypothesis per count
+    consensus_method: str = "gmm"        # gmm | kmeans | dbscan
+    smiles_per_hypothesis: int = 256
+    decode_batch: int = 256
+    conditions: Optional[Dict[str, Sequence[float]]] = None
+    n_conformers: int = 5
+    refine_steps: int = 100
+    num_keep: int = 3
+    align_chunk: int = 64                # fixed M per align jit (no recompiles)
+    size_bucket: int = 16                # atom-count padding granularity
+    queue_depth: int = 8
+
+
+@dataclasses.dataclass
+class PipelineResult:
+    smiles: str
+    hypothesis: int                      # hypothesis id
+    rmsd: float                          # best feature-RMSD onto the points
+    conformers: List[Tuple[float, np.ndarray]]  # (rmsd, coords) best-first
+
+
+def _flatten_cloud_dict(clouds: Dict) -> Tuple[np.ndarray, List[str]]:
+    coords, families = [], []
+    for _mol, feats in clouds.items():
+        for fam, pts in feats.items():
+            for p in pts:
+                coords.append(p)
+                families.append(fam)
+    return np.asarray(coords, dtype=np.float32), families
+
+
+_CONSENSUS = {
+    "gmm": consensus_gmm,
+    "kmeans": consensus_kmeans,
+    "dbscan": lambda coords, fams, n_clusters, seed: consensus_dbscan(
+        coords, fams
+    ),
+}
+
+
+def run_pipeline(
+    diff_model,
+    diff_params,
+    gcpg_model,
+    gcpg_params,
+    tokenizer: Tokenizer,
+    pockets: Sequence[Tuple[np.ndarray, np.ndarray]],  # (coords, onehot)
+    rng: jax.Array,
+    cfg: PipelineConfig = PipelineConfig(),
+) -> Tuple[List[PipelineResult], Dict[str, float]]:
+    """Run the full pocket->aligned-molecules pipeline, overlapped.
+
+    Returns (results, stats). ``stats`` includes the end-to-end
+    ``aligned_mols_per_min`` over the wall time of the whole call.
+    """
+    q_hyp: queue.Queue = queue.Queue(maxsize=cfg.queue_depth)
+    q_raw: queue.Queue = queue.Queue(maxsize=cfg.queue_depth)
+    q_prep: queue.Queue = queue.Queue(maxsize=cfg.queue_depth)
+    results: List[PipelineResult] = []
+    errors: List[BaseException] = []
+    stats = {
+        "pockets": len(pockets), "hypotheses": 0, "raw_smiles": 0,
+        "unique_smiles": 0, "matched": 0, "aligned": 0,
+    }
+    k_sample, k_decode, k_align = jax.random.split(rng, 3)
+    py_rng = _random.Random(0)
+    grid = condition_grid(cfg.conditions)
+    consensus_fn = _CONSENSUS[cfg.consensus_method]
+
+    def sampler():
+        try:
+            key = k_sample
+            for pi, (coords, onehot) in enumerate(pockets):
+                key, sub = jax.random.split(key)
+                clouds = sample_pharmacophores(
+                    diff_model, diff_params, sub, coords, onehot,
+                    cfg.n_clouds_per_pocket, n_phar_max=cfg.n_phar_max,
+                    batch_size=cfg.n_clouds_per_pocket,
+                    timesteps=cfg.diff_timesteps,
+                )
+                pts, fams = _flatten_cloud_dict(clouds)
+                if len(pts) == 0:
+                    continue
+                for nc in cfg.cluster_counts:
+                    cons = consensus_fn(pts, fams, n_clusters=nc, seed=nc)
+                    if len(cons) < 2:
+                        continue
+                    types = [t for t, _ in cons]
+                    ppc = np.stack([c for _, c in cons]).astype(np.float32)
+                    pp_h, pp_e, pp_m = points_to_graph(types, ppc, py_rng)
+                    hid = stats["hypotheses"]
+                    stats["hypotheses"] += 1
+                    q_hyp.put((hid, types, ppc, pp_h, pp_e, pp_m))
+        except BaseException as e:  # propagate to the main thread
+            errors.append(e)
+        finally:
+            q_hyp.put(_SENTINEL)
+
+    def decoder():
+        try:
+            key = k_decode
+            while True:
+                item = q_hyp.get()
+                if item is _SENTINEL:
+                    break
+                hid, types, ppc, pp_h, pp_e, pp_m = item
+                b = cfg.decode_batch
+                raw: List[str] = []
+                remaining = cfg.smiles_per_hypothesis
+                ci = 0
+                while remaining > 0:
+                    cond = grid[ci % len(grid)]
+                    ci += 1
+                    key, sub = jax.random.split(key)
+                    toks = gcpg_mod.generate(
+                        gcpg_model, gcpg_params, sub,
+                        jnp.broadcast_to(jnp.asarray(pp_h), (b, *pp_h.shape)),
+                        jnp.broadcast_to(jnp.asarray(pp_e), (b, *pp_e.shape)),
+                        jnp.broadcast_to(jnp.asarray(pp_m), (b, *pp_m.shape)),
+                        jnp.broadcast_to(jnp.asarray(cond), (b, len(cond))),
+                        random_sample=True,
+                    )
+                    raw.extend(tokenizer.get_text(np.asarray(toks)))
+                    remaining -= b
+                stats["raw_smiles"] += len(raw)
+                q_raw.put((hid, types, ppc, raw))
+        except BaseException as e:
+            errors.append(e)
+        finally:
+            q_raw.put(_SENTINEL)
+
+    def preparer():
+        try:
+            while True:
+                item = q_raw.get()
+                if item is _SENTINEL:
+                    break
+                hid, types, ppc, raw = item
+                canon = [canonical_smiles(s) for s in raw]
+                uniq = list(dict.fromkeys(c for c in canon if c))
+                stats["unique_smiles"] += len(uniq)
+                entries = prepare_align_entries(uniq, types)
+                stats["matched"] += len(entries)
+                if not entries:
+                    continue
+                # fixed-size chunks per padded-size bucket => the align jit
+                # compiles once per (chunk, n_pad) pair for the whole run
+                buckets: Dict[int, list] = {}
+                for idx, mol, groups in entries:
+                    n_pad = -(-mol.n_atoms // cfg.size_bucket) * cfg.size_bucket
+                    buckets.setdefault(n_pad, []).append((idx, mol, groups))
+                for n_pad, ents in buckets.items():
+                    for off in range(0, len(ents), cfg.align_chunk):
+                        chunk = ents[off : off + cfg.align_chunk]
+                        n_real = len(chunk)
+                        while len(chunk) < cfg.align_chunk:
+                            chunk.append(chunk[len(chunk) % n_real])
+                        q_prep.put((hid, ppc, uniq, chunk, n_real))
+        except BaseException as e:
+            errors.append(e)
+        finally:
+            q_prep.put(_SENTINEL)
+
+    def aligner():
+        try:
+            key = k_align
+            while True:
+                item = q_prep.get()
+                if item is _SENTINEL:
+                    break
+                hid, ppc, uniq, chunk, n_real = item
+                key, sub = jax.random.split(key)
+                res = align_entries(
+                    chunk, ppc, sub, n_conformers=cfg.n_conformers,
+                    num_keep=cfg.num_keep, refine_steps=cfg.refine_steps,
+                    bucket=cfg.size_bucket,
+                )
+                seen = set()
+                for idx, mol, _ in chunk[:n_real]:
+                    if idx in seen or idx not in res:
+                        continue
+                    seen.add(idx)
+                    confs = res[idx]
+                    results.append(PipelineResult(
+                        smiles=uniq[idx], hypothesis=hid,
+                        rmsd=confs[0][0], conformers=confs,
+                    ))
+                stats["aligned"] = len(results)
+        except BaseException as e:
+            errors.append(e)
+
+    threads = [
+        threading.Thread(target=f, name=f.__name__, daemon=True)
+        for f in (sampler, decoder, preparer, aligner)
+    ]
+    t0 = time.perf_counter()
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    wall = time.perf_counter() - t0
+    if errors:
+        raise errors[0]
+    stats["wall_s"] = round(wall, 2)
+    stats["aligned_mols_per_min"] = round(len(results) / wall * 60.0, 1)
+    return results, stats

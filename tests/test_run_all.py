@@ -1,0 +1,124 @@
+"""Overlapped end-to-end driver (pipeline/run_all.py): plumbing, stage
+hand-offs, and the measured aligned-molecules/min stat, on tiny models."""
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from cmdgen_tpu.chem.tokenizer import Tokenizer, gen_vocabs
+from cmdgen_tpu.config import GCPGModelConfig
+from cmdgen_tpu.diffusion.cddpm import ConditionalDDPM, DDPMConfig
+from cmdgen_tpu.models.dynamics import DynamicsConfig, EGNNDynamics
+from cmdgen_tpu.models.egnn import EGNNConfig
+from cmdgen_tpu.models.gcpg import GCPG
+from cmdgen_tpu.pipeline import run_all
+
+
+@pytest.fixture(scope="module")
+def tiny_models():
+    dyn = EGNNDynamics(
+        DynamicsConfig(
+            phar_nf=8, residue_nf=11, joint_nf=8, edge_cutoff=None,
+            egnn=EGNNConfig(hidden_nf=16, n_layers=1, inv_sublayers=1),
+        )
+    )
+    diff_model = ConditionalDDPM(DDPMConfig(timesteps=4), dyn)
+    n_q = 12
+    diff_params = dyn.init(
+        jax.random.PRNGKey(0),
+        jnp.zeros((2, 4, 11)), jnp.zeros((2, n_q, 14)),
+        jnp.zeros((2, 1)), jnp.ones((2, 4)), jnp.ones((2, n_q)),
+    )
+    tok = Tokenizer(gen_vocabs(["CCO", "OCC", "CO"]))
+    gmodel = GCPG(
+        GCPGModelConfig(max_len=12, hidden_dim=32, n_layers=1, ff_dim=32,
+                        n_head=4, pp_encoder_n_layer=1, dropout=0.0),
+        vocab_size=len(tok),
+    )
+    b = 2
+    gparams = gmodel.init(
+        jax.random.PRNGKey(2), jax.random.PRNGKey(3),
+        jnp.zeros((b, 5), dtype=jnp.int32), jnp.ones((b, 5)),
+        jnp.zeros((b, 8, 8)), jnp.zeros((b, 8, 8, 1)), jnp.ones((b, 8)),
+        jnp.zeros((b, 5), dtype=jnp.int32), jnp.zeros((b, 7)),
+    )
+    rng = np.random.RandomState(0)
+    pockets = [
+        (rng.randn(n_q, 3).astype(np.float32) * 3.0,
+         np.eye(11, dtype=np.float32)[rng.randint(0, 11, n_q)])
+        for _ in range(2)
+    ]
+    return diff_model, diff_params, gmodel, gparams, tok, pockets
+
+
+def test_run_pipeline_end_to_end(tiny_models, monkeypatch):
+    diff_model, diff_params, gmodel, gparams, tok, pockets = tiny_models
+
+    # deterministic consensus: a hypothesis the C/O-vocab decodes can match
+    def fixed_consensus(coords, families, n_clusters=4, seed=0):
+        c = np.asarray(coords).mean(0)
+        return [("HYBL", c), ("HACC", c + np.asarray([2.5, 0, 0]))]
+
+    monkeypatch.setitem(run_all._CONSENSUS, "gmm", fixed_consensus)
+
+    # deterministic decode: the driver under test is the overlap machinery,
+    # not GCPG sampling (tested in test_gcpg.py) — emit a fixed SMILES mix
+    # (valid+invalid, duplicates) through the real tokenizer round-trip
+    fake_pool = ["CCO", "OCCO", "CCOC", "CO", "C(", "CCO", "OCO", "CCCO"]
+
+    def fake_generate(model, params, rng, pp_h, pp_e, pp_m, conds, **kw):
+        b = pp_h.shape[0]
+        out = np.full((b, 12), tok.s2i["<pad>"], dtype=np.int32)
+        for i in range(b):
+            ids = tok.parse(fake_pool[i % len(fake_pool)])[1:]  # drop <sos>
+            ids = ids[: 12]
+            out[i, : len(ids)] = ids
+        return jnp.asarray(out)
+
+    monkeypatch.setattr(run_all.gcpg_mod, "generate", fake_generate)
+
+    cfg = run_all.PipelineConfig(
+        n_clouds_per_pocket=4, diff_timesteps=4, n_phar_max=4,
+        cluster_counts=(2,), smiles_per_hypothesis=32, decode_batch=16,
+        n_conformers=2, refine_steps=40, num_keep=2, align_chunk=8,
+        size_bucket=8,
+    )
+    results, stats = run_all.run_pipeline(
+        diff_model, diff_params, gmodel, gparams, tok, pockets,
+        jax.random.PRNGKey(7), cfg,
+    )
+    assert stats["pockets"] == 2
+    assert stats["hypotheses"] == 2          # one per pocket
+    assert stats["raw_smiles"] == 64
+    assert stats["unique_smiles"] >= 1       # C/O strings are mostly valid
+    assert stats["matched"] >= 1
+    assert stats["aligned"] == len(results) >= 1
+    assert stats["aligned_mols_per_min"] > 0
+    for r in results:
+        assert np.isfinite(r.rmsd)
+        assert r.hypothesis in (0, 1)
+        assert 1 <= len(r.conformers) <= 2
+        # coords are [n_atoms, 3] for the real (unpadded) molecule
+        from cmdgen_tpu.chem.mol import mol_from_smiles
+
+        assert r.conformers[0][1].shape == (
+            mol_from_smiles(r.smiles).n_atoms, 3,
+        )
+    # no duplicate (smiles, hypothesis) results from chunk padding
+    seen = [(r.smiles, r.hypothesis) for r in results]
+    assert len(seen) == len(set(seen))
+
+
+def test_run_pipeline_propagates_errors(tiny_models):
+    diff_model, diff_params, gmodel, gparams, tok, pockets = tiny_models
+    cfg = run_all.PipelineConfig(
+        n_clouds_per_pocket=4, diff_timesteps=4, n_phar_max=4,
+        cluster_counts=(2,), consensus_method="nope",  # unknown method
+    )
+    with pytest.raises(KeyError):
+        run_all.run_pipeline(
+            diff_model, diff_params, gmodel, gparams, tok, pockets,
+            jax.random.PRNGKey(7), cfg,
+        )
