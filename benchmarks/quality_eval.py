@@ -171,7 +171,7 @@ def diffphar_quality(quick=False):
     from cmdgen_tpu.data.dataset import DiffPharDataset
     from cmdgen_tpu.models.egnn import EGNNConfig
     from cmdgen_tpu.pipeline.evaluate import eval_diffphar
-    from cmdgen_tpu.train.diffphar_train import build_model, train_diffphar
+    from cmdgen_tpu.train.diffphar_train import train_diffphar
 
     cfg = cfgmod.ca_config()
     cfg = dataclasses.replace(
@@ -195,9 +195,9 @@ def diffphar_quality(quick=False):
             pathlib.Path(tmp) / "data", 60 if quick else 600
         )
         t0 = time.time()
-        params = train_diffphar(cfg, data, pathlib.Path(tmp) / "ckpt")
+        state, model = train_diffphar(cfg, data, pathlib.Path(tmp) / "ckpt")
+        params = state.params
         train_s = time.time() - t0
-        model = build_model(cfg)
         test_ds = DiffPharDataset(data / "test.npz")
         res = eval_diffphar(
             model, params, jax.random.PRNGKey(9), test_ds,

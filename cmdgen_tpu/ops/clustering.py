@@ -9,6 +9,7 @@ one jit call instead of a host round-trip per fit.
 """
 from __future__ import annotations
 
+import functools
 from typing import NamedTuple
 
 import jax
@@ -21,9 +22,14 @@ class KMeansResult(NamedTuple):
     inertia: jnp.ndarray
 
 
+@functools.partial(jax.jit, static_argnames=("k", "iters", "n_init"))
 def kmeans(rng, x: jnp.ndarray, k: int, iters: int = 50,
            n_init: int = 4) -> KMeansResult:
-    """Lloyd's algorithm with kmeans++-style seeding, best of n_init runs."""
+    """Lloyd's algorithm with kmeans++-style seeding, best of n_init runs.
+
+    Jitted whole (k/iters static): the consensus stage calls this per
+    hypothesis, and eager dispatch of the seeding/EM ops costs far more
+    than the fit itself on TPU."""
     n = x.shape[0]
 
     def single(key):
@@ -84,8 +90,10 @@ def _log_gauss(x, mean, cov):
     return -0.5 * (d * jnp.log(2 * jnp.pi) + logdet + maha)
 
 
+@functools.partial(jax.jit, static_argnames=("k", "iters"))
 def gmm_fit(rng, x: jnp.ndarray, k: int, iters: int = 100) -> GMMResult:
-    """Full-covariance EM, kmeans-initialized (sklearn defaults)."""
+    """Full-covariance EM, kmeans-initialized (sklearn defaults). Jitted
+    whole (see kmeans)."""
     n, d = x.shape
     km = kmeans(rng, x, k, iters=20, n_init=1)
     means0 = km.centers
@@ -112,6 +120,7 @@ def gmm_fit(rng, x: jnp.ndarray, k: int, iters: int = 100) -> GMMResult:
     return GMMResult(means, covs, weights, ll)
 
 
+@jax.jit
 def gmm_predict_proba(gmm: GMMResult, x: jnp.ndarray) -> jnp.ndarray:
     """[N, K] responsibilities."""
     logp = jax.vmap(lambda m, c: _log_gauss(x, m, c))(gmm.means, gmm.covs)
@@ -124,6 +133,7 @@ def gmm_predict(gmm: GMMResult, x: jnp.ndarray) -> jnp.ndarray:
     return jnp.argmax(gmm_predict_proba(gmm, x), axis=1)
 
 
+@jax.jit
 def dbscan(x: jnp.ndarray, eps: float, min_samples: int):
     """DBSCAN via dense pairwise distances + label propagation.
 

@@ -115,6 +115,10 @@ def run_pipeline(
     stats = {
         "pockets": len(pockets), "hypotheses": 0, "raw_smiles": 0,
         "unique_smiles": 0, "matched": 0, "aligned": 0,
+        # per-stage busy seconds (threads overlap, so these can sum past
+        # wall_s; the largest one is the pipeline's bottleneck)
+        "sample_busy_s": 0.0, "consensus_busy_s": 0.0, "decode_busy_s": 0.0,
+        "prep_busy_s": 0.0, "align_busy_s": 0.0,
     }
     k_sample, k_decode, k_align = jax.random.split(rng, 3)
     py_rng = _random.Random(0)
@@ -126,17 +130,21 @@ def run_pipeline(
             key = k_sample
             for pi, (coords, onehot) in enumerate(pockets):
                 key, sub = jax.random.split(key)
+                t0 = time.perf_counter()
                 clouds = sample_pharmacophores(
                     diff_model, diff_params, sub, coords, onehot,
                     cfg.n_clouds_per_pocket, n_phar_max=cfg.n_phar_max,
                     batch_size=cfg.n_clouds_per_pocket,
                     timesteps=cfg.diff_timesteps,
                 )
+                stats["sample_busy_s"] += time.perf_counter() - t0
                 pts, fams = _flatten_cloud_dict(clouds)
                 if len(pts) == 0:
                     continue
                 for nc in cfg.cluster_counts:
+                    t0 = time.perf_counter()
                     cons = consensus_fn(pts, fams, n_clusters=nc, seed=nc)
+                    stats["consensus_busy_s"] += time.perf_counter() - t0
                     if len(cons) < 2:
                         continue
                     types = [t for t, _ in cons]
@@ -162,6 +170,7 @@ def run_pipeline(
                 raw: List[str] = []
                 remaining = cfg.smiles_per_hypothesis
                 ci = 0
+                t0 = time.perf_counter()
                 while remaining > 0:
                     cond = grid[ci % len(grid)]
                     ci += 1
@@ -176,6 +185,7 @@ def run_pipeline(
                     )
                     raw.extend(tokenizer.get_text(np.asarray(toks)))
                     remaining -= b
+                stats["decode_busy_s"] += time.perf_counter() - t0
                 stats["raw_smiles"] += len(raw)
                 q_raw.put((hid, types, ppc, raw))
         except BaseException as e:
@@ -190,6 +200,7 @@ def run_pipeline(
                 if item is _SENTINEL:
                     break
                 hid, types, ppc, raw = item
+                t0 = time.perf_counter()
                 canon = [canonical_smiles(s) for s in raw]
                 uniq = list(dict.fromkeys(c for c in canon if c))
                 stats["unique_smiles"] += len(uniq)
@@ -209,7 +220,10 @@ def run_pipeline(
                         n_real = len(chunk)
                         while len(chunk) < cfg.align_chunk:
                             chunk.append(chunk[len(chunk) % n_real])
+                        stats["prep_busy_s"] += time.perf_counter() - t0
                         q_prep.put((hid, ppc, uniq, chunk, n_real))
+                        t0 = time.perf_counter()
+                stats["prep_busy_s"] += time.perf_counter() - t0
         except BaseException as e:
             errors.append(e)
         finally:
@@ -224,11 +238,13 @@ def run_pipeline(
                     break
                 hid, ppc, uniq, chunk, n_real = item
                 key, sub = jax.random.split(key)
+                t0 = time.perf_counter()
                 res = align_entries(
                     chunk, ppc, sub, n_conformers=cfg.n_conformers,
                     num_keep=cfg.num_keep, refine_steps=cfg.refine_steps,
                     bucket=cfg.size_bucket,
                 )
+                stats["align_busy_s"] += time.perf_counter() - t0
                 seen = set()
                 for idx, mol, _ in chunk[:n_real]:
                     if idx in seen or idx not in res:
@@ -257,4 +273,7 @@ def run_pipeline(
         raise errors[0]
     stats["wall_s"] = round(wall, 2)
     stats["aligned_mols_per_min"] = round(len(results) / wall * 60.0, 1)
+    for k in list(stats):
+        if k.endswith("_busy_s"):
+            stats[k] = round(stats[k], 2)
     return results, stats

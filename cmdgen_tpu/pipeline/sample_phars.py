@@ -10,6 +10,7 @@ consensus stage.
 """
 from __future__ import annotations
 
+import functools
 import json
 from pathlib import Path
 from typing import Dict, List, Optional, Sequence
@@ -46,6 +47,32 @@ def pocket_point_cloud(
     if not pocket:
         raise ValueError("empty pocket")
     return pdbmod.featurize_pocket(pocket, representation, dataset)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("model", "n_phar_max", "timesteps")
+)
+def _sample_jit(model, params, rng, pocket, num_nodes, n_phar_max,
+                timesteps):
+    """Jitted reverse chain (eagerly, the pre/post CoM bookkeeping around
+    the scan dispatches op-by-op and launch latency dominates)."""
+    return model.sample_given_pocket(
+        params, rng, pocket, num_nodes, n_phar_max, timesteps=timesteps
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("model", "resamplings", "jump_length", "timesteps"),
+)
+def _inpaint_jit(model, params, rng, phar_init, pocket, phar_fixed,
+                 pocket_fixed, resamplings, jump_length, timesteps):
+    return model.inpaint(
+        params, rng, phar_init, pocket,
+        phar_fixed=phar_fixed, pocket_fixed=pocket_fixed,
+        resamplings=resamplings, jump_length=jump_length,
+        timesteps=timesteps,
+    )
 
 
 def sample_pharmacophores(
@@ -98,15 +125,15 @@ def sample_pharmacophores(
                 h=jnp.zeros((b, n_phar_max, model.phar_nf)),
                 mask=mask_from_sizes(nn, n_phar_max),
             )
-            phar, pocket_out = model.inpaint(
-                params, k_samp, phar_init, pocket,
-                phar_fixed=jnp.zeros_like(phar_init.mask),
-                pocket_fixed=jnp.ones_like(pocket.mask),
+            phar, pocket_out = _inpaint_jit(
+                model, params, k_samp, phar_init, pocket,
+                jnp.zeros_like(phar_init.mask),
+                jnp.ones_like(pocket.mask),
                 resamplings=1, jump_length=1, timesteps=timesteps,
             )
         else:
-            phar, pocket_out = model.sample_given_pocket(
-                params, k_samp, pocket, nn, n_phar_max, timesteps=timesteps
+            phar, pocket_out = _sample_jit(
+                model, params, k_samp, pocket, nn, n_phar_max, timesteps
             )
         # translate back into the original pocket frame
         pocket_com_after = np.asarray(
