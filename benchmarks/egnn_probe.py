@@ -56,19 +56,32 @@ def main():
     counts = (d2 <= 36.0).sum(-1)
     print(f"# neighbor counts @6A: mean={counts.mean():.1f} max={counts.max()}")
 
+    from cmdgen_tpu.models.dynamics import make_pallas_apply
+
     for mode in args.modes.split(","):
+        # modes: dense | nbK (XLA one-hot neighbor list) | pnbK (fused
+        # Pallas neighbor kernel)
+        apply_fn = None
         if mode == "dense":
             egnn = dataclasses.replace(
                 base.dynamics.egnn, compute_dtype=jnp.bfloat16
             )
+            dyn_cfg = dataclasses.replace(base.dynamics, egnn=egnn)
+        elif mode.startswith("pnb"):
+            k = int(mode[3:])
+            egnn = dataclasses.replace(
+                base.dynamics.egnn, compute_dtype=jnp.bfloat16, neighbor_k=k
+            )
+            dyn_cfg = dataclasses.replace(base.dynamics, egnn=egnn)
+            apply_fn = make_pallas_apply(dyn_cfg)
         else:
             k = int(mode[2:])
             egnn = dataclasses.replace(
                 base.dynamics.egnn, compute_dtype=jnp.bfloat16, neighbor_k=k
             )
-        dyn_cfg = dataclasses.replace(base.dynamics, egnn=egnn)
+            dyn_cfg = dataclasses.replace(base.dynamics, egnn=egnn)
         dynamics = EGNNDynamics(dyn_cfg)
-        model = ConditionalDDPM(base.ddpm, dynamics)
+        model = ConditionalDDPM(base.ddpm, dynamics, apply_fn=apply_fn)
         for b in batches:
             rng = jax.random.PRNGKey(0)
             k1, k2, k3 = jax.random.split(rng, 3)

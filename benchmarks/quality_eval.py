@@ -113,8 +113,14 @@ def gcpg_quality(quick=False):
     return res
 
 
-# reference-like pharmacophore type marginals (constants.py histograms)
-TYPE_PROBS = np.array([0.21, 0.17, 0.04, 0.22, 0.14, 0.12, 0.05, 0.05])
+def _type_probs():
+    """Pharmacophore type marginals = the reference histogram
+    (chem/constants.PHAR_HIST), which is also eval_diffphar's KL target —
+    so a perfectly-trained model scores KL ~ 0."""
+    from cmdgen_tpu.chem.constants import PHAR_DECODER, PHAR_HIST
+
+    h = np.array([PHAR_HIST[k] for k in PHAR_DECODER], dtype=float)
+    return h / h.sum()
 
 
 def make_diffphar_dataset(out_dir, n_complexes=600, seed=0):
@@ -126,6 +132,7 @@ def make_diffphar_dataset(out_dir, n_complexes=600, seed=0):
     from cmdgen_tpu.utils.synthetic import realistic_ca_pocket
 
     rng = np.random.RandomState(seed)
+    type_probs = _type_probs()
     out_dir = pathlib.Path(out_dir)
     out_dir.mkdir(parents=True, exist_ok=True)
     splits = {"train": int(n_complexes * 0.9),
@@ -141,7 +148,7 @@ def make_diffphar_dataset(out_dir, n_complexes=600, seed=0):
             n_p = rng.randint(3, 9)
             anchors = pocket[rng.choice(n_q, n_p, replace=False)]
             phar = anchors * 0.45 + rng.randn(n_p, 3) * 0.8
-            types = rng.choice(8, n_p, p=TYPE_PROBS)
+            types = rng.choice(8, n_p, p=type_probs)
             joint = np.concatenate([phar, pocket])
             com = joint.mean(0, keepdims=True)
             complexes.append({
@@ -186,7 +193,7 @@ def diffphar_quality(quick=False):
         ),
         ddpm=dataclasses.replace(cfg.ddpm, timesteps=20 if quick else 100),
         train=dataclasses.replace(
-            cfg.train, batch_size=16, n_epochs=2 if quick else 12,
+            cfg.train, batch_size=16, n_epochs=2 if quick else 40,
             lr=3e-4, clip_grad=True,
         ),
     )

@@ -183,6 +183,7 @@ def make_pallas_apply(cfg: DynamicsConfig, tile: int = 16,
                            else cfg.egnn.compute_dtype),
             sparse=sparse,
             cutoff2=(cfg.edge_cutoff**2 if cfg.edge_cutoff else 1.0e9),
+            neighbor_k=cfg.egnn.neighbor_k,
         )
         vel = (x_final - x) * mask[..., None]
         if cfg.condition_time:

@@ -416,6 +416,195 @@ def _pair_pass_sparse(
     return out[:, :n]
 
 
+# ---------------------------------------------------- neighbor-list pass
+
+def _make_nbr_kernel(mode: str, n_pad: int, k: int, hdim: int,
+                     compute_dtype=jnp.bfloat16):
+    """Fixed-K neighbor-list pair pass, one program per batch element.
+
+    The whole [N, K, H] pair block lives in VMEM; the neighbor gather is an
+    in-kernel one-hot matmul (built from idx by an iota compare); K is a
+    multiple of 8 so the (N*K, H) <-> (N, K, H) reshapes are sublane splits
+    and layout-free. HBM traffic per program is O(N*H) (h-level inputs and
+    the aggregated output) instead of the XLA path's O(N*K*H) chains.
+    """
+    nk = n_pad * k
+
+    def _silu(v):
+        one = jnp.ones((), dtype=v.dtype)
+        return v / (one + jnp.exp(-v))
+
+    def kernel(
+        x_ref,      # [1, N, 3]   current coords (f32)
+        idx_ref,    # [1, N, k]   neighbor indices (int32)
+        kmask_ref,  # [1, N, k]   neighbor validity (f32)
+        dist0_ref,  # [1, N, k]   entry-coordinate squared distances (f32)
+        wi_ref,     # [1, N, H]
+        wj_ref,     # [1, N, H]
+        we_ref,     # [2, H]
+        w2_ref,     # [H, H]
+        b2_ref,     # [1, H]
+        head_ref,   # [H, 1]
+        headb_ref,  # [1, 1] SMEM
+        scal_ref,   # [1, 4] SMEM (norm_constant, coords_range, nf, tanh)
+        out_ref,    # [1, N, H] | [1, N, 3]
+    ):
+        norm_constant = scal_ref[0, 0]
+        coords_range = scal_ref[0, 1]
+        norm_factor = scal_ref[0, 2]
+        tanh_flag = scal_ref[0, 3]
+
+        # one-hot neighbor selection [N*k, N] from idx by iota compare
+        idx_flat = idx_ref[0].reshape(nk, 1)
+        lane = jax.lax.broadcasted_iota(jnp.int32, (nk, n_pad), 1)
+        onehot = (lane == idx_flat).astype(compute_dtype)
+
+        x = x_ref[0]                                     # [N, 3]
+        x_j = jnp.dot(
+            onehot, x.astype(compute_dtype),
+            preferred_element_type=jnp.float32,
+        ).reshape(n_pad, k, 3)
+        diff = x[:, None, :] - x_j                       # [N, k, 3]
+        radial = jnp.sum(diff * diff, axis=-1)           # [N, k]
+
+        wj_g = jnp.dot(
+            onehot, wj_ref[0].astype(compute_dtype),
+            preferred_element_type=jnp.float32,
+        ).astype(compute_dtype).reshape(n_pad, k, hdim)
+        we_r = we_ref[0:1, :].reshape(1, 1, hdim).astype(compute_dtype)
+        we_d = we_ref[1:2, :].reshape(1, 1, hdim).astype(compute_dtype)
+        pre = (
+            wi_ref[0][:, None, :].astype(compute_dtype)
+            + wj_g
+            + radial[..., None].astype(compute_dtype) * we_r
+            + dist0_ref[0][..., None].astype(compute_dtype) * we_d
+        )                                                # [N, k, H]
+        m = _silu(pre.astype(compute_dtype)).reshape(nk, hdim)
+        m = (
+            jnp.dot(
+                m, w2_ref[:].astype(compute_dtype),
+                preferred_element_type=jnp.float32,
+            )
+            + b2_ref[0][None, :]
+        )
+        m = _silu(m.astype(compute_dtype))
+        kmask = kmask_ref[0]                             # [N, k]
+
+        if mode == "msg":
+            att = jax.nn.sigmoid(
+                jnp.dot(
+                    m, head_ref[:].astype(compute_dtype),
+                    preferred_element_type=jnp.float32,
+                )
+                + headb_ref[0, 0]
+            )
+            mm = (m.astype(jnp.float32) * att).reshape(n_pad, k, hdim)
+            mm = mm * kmask[..., None]
+            out_ref[0] = (jnp.sum(mm, axis=1) / norm_factor).astype(
+                out_ref.dtype
+            )
+        else:
+            g = jnp.dot(
+                m, head_ref[:].astype(compute_dtype),
+                preferred_element_type=jnp.float32,
+            )
+            g = jnp.where(tanh_flag > 0, jnp.tanh(g) * coords_range, g)
+            norm = jnp.sqrt(radial + 1e-8)
+            cd = diff / (norm + norm_constant)[..., None]
+            trans = cd * g.reshape(n_pad, k, 1) * kmask[..., None]
+            out_ref[0] = (jnp.sum(trans, axis=1) / norm_factor).astype(
+                out_ref.dtype
+            )
+
+    return kernel
+
+
+def _pair_pass_nbr(
+    mode: str,
+    x: jnp.ndarray,       # [B, N, 3]
+    idx: jnp.ndarray,     # [B, N, K] int32
+    kmask: jnp.ndarray,   # [B, N, K]
+    dist0: jnp.ndarray,   # [B, N, K] entry squared distances
+    wi: jnp.ndarray,      # [B, N, H]
+    wj: jnp.ndarray,      # [B, N, H]
+    we: jnp.ndarray,      # [2, H]
+    w2: jnp.ndarray,      # [H, H]
+    b2: jnp.ndarray,      # [H]
+    head: jnp.ndarray,    # [H, 1]
+    headb: jnp.ndarray,   # scalar
+    norm_constant: float,
+    coords_range: float,
+    norm_factor: float,
+    tanh: bool,
+    interpret: bool = False,
+    compute_dtype=jnp.bfloat16,
+) -> jnp.ndarray:
+    b, n, _ = x.shape
+    kk = idx.shape[-1]
+    hdim = wi.shape[-1]
+    n_pad = _round_up(n, 8)
+    if n_pad != n:
+        def pad(a, axes):
+            return jnp.pad(
+                a,
+                [(0, n_pad - n) if i in axes else (0, 0) for i in range(a.ndim)],
+            )
+
+        x = pad(x, (1,))
+        idx = pad(idx, (1,))
+        kmask = pad(kmask, (1,))
+        dist0 = pad(dist0, (1,))
+        wi = pad(wi, (1,))
+        wj = pad(wj, (1,))
+    scal = jnp.asarray(
+        [[norm_constant, coords_range, norm_factor, 1.0 if tanh else 0.0]],
+        dtype=jnp.float32,
+    )
+    out_dim = hdim if mode == "msg" else 3
+    kernel = _make_nbr_kernel(mode, n_pad, kk, hdim, compute_dtype)
+
+    im_row3 = lambda bi: (bi, 0, 0)
+    im_w = lambda bi: (0, 0)
+
+    out = pl.pallas_call(
+        kernel,
+        grid=(b,),
+        in_specs=[
+            pl.BlockSpec((1, n_pad, 3), im_row3, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n_pad, kk), im_row3, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n_pad, kk), im_row3, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n_pad, kk), im_row3, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n_pad, hdim), im_row3, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n_pad, hdim), im_row3, memory_space=pltpu.VMEM),
+            pl.BlockSpec((2, hdim), im_w, memory_space=pltpu.VMEM),
+            pl.BlockSpec((hdim, hdim), im_w, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, hdim), im_w, memory_space=pltpu.VMEM),
+            pl.BlockSpec((hdim, 1), im_w, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1), im_w, memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 4), im_w, memory_space=pltpu.SMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, n_pad, out_dim), im_row3, memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((b, n_pad, out_dim), jnp.float32),
+        interpret=interpret,
+    )(
+        x.astype(jnp.float32),
+        idx.astype(jnp.int32),
+        kmask.astype(jnp.float32),
+        dist0.astype(jnp.float32),
+        wi.astype(compute_dtype),
+        wj.astype(compute_dtype),
+        we.astype(compute_dtype),
+        w2.astype(compute_dtype),
+        b2.reshape(1, -1).astype(jnp.float32),
+        head.astype(compute_dtype),
+        jnp.reshape(headb, (1, 1)).astype(jnp.float32),
+        scal,
+    )
+    return out[:, :n]
+
+
 # ------------------------------------------------------------ full forward
 
 def _dense(h, p):
@@ -443,14 +632,33 @@ def egnn_forward_pallas(
     compute_dtype=jnp.bfloat16,
     sparse: bool = False,
     cutoff2: float = 1.0e9,
+    neighbor_k: Optional[int] = None,
 ):
     """Pallas-accelerated equivalent of models.egnn.EGNN.__call__ for
     inv_sublayers == 1 (the flagship configs). ``egnn_params`` is the flax
-    param subtree of the EGNN module."""
+    param subtree of the EGNN module. ``neighbor_k`` selects the fused
+    fixed-K neighbor-list engine (semantics of models.egnn neighbor mode:
+    exact vs dense whenever K bounds the in-cutoff neighbor count)."""
     coords_range_layer = coords_range / n_layers
     x_entry = x
-    diff0 = x[:, :, None, :] - x[:, None, :, :]
-    dist0 = jnp.sum(diff0 * diff0, axis=-1)  # [B, N, N]
+
+    if neighbor_k is not None:
+        # fixed-K neighbor list from the entry coordinates; K must be a
+        # multiple of 8 so in-kernel (N*K, H) <-> (N, K, H) reshapes are
+        # sublane splits
+        kk = min(_round_up(neighbor_k, 8), x.shape[1])
+        d2 = jnp.sum(
+            (x[:, :, None, :] - x[:, None, :, :]) ** 2, axis=-1
+        )
+        score = jnp.where(edge_mask > 0, -d2, -jnp.inf)
+        _, idx = jax.lax.top_k(score, kk)
+        kmask = jnp.take_along_axis(edge_mask, idx, axis=-1)
+        dist0k = jnp.take_along_axis(d2, idx, axis=-1)   # entry distances
+        dist0 = None
+    else:
+        idx = kmask = dist0k = None
+        diff0 = x[:, :, None, :] - x[:, None, :, :]
+        dist0 = jnp.sum(diff0 * diff0, axis=-1)  # [B, N, N]
 
     h = _dense(h, egnn_params["embedding"])
     for i in range(n_layers):
@@ -461,16 +669,25 @@ def egnn_forward_pallas(
         wi = h @ gcl["edge_in"]["w_i"]["kernel"]
         wj = _dense(h, gcl["edge_in"]["w_j"])
         we = gcl["edge_in"]["w_e"]["kernel"]  # [2, H]
-        pass_fn = _pair_pass_sparse if sparse else _pair_pass
-        agg = pass_fn(
-            "msg", x, dist0, edge_mask, wi, wj, we,
-            gcl["edge_out"]["kernel"], gcl["edge_out"]["bias"],
-            gcl["att"]["kernel"], gcl["att"]["bias"],
-            norm_constant, coords_range_layer, normalization_factor, tanh,
-            interpret=interpret, compute_dtype=compute_dtype,
-            **({"tile_i": tile, "x0": x_entry, "valid": node_mask,
-                "cutoff2": cutoff2} if sparse else {"tile": tile}),
-        )
+        if neighbor_k is not None:
+            agg = _pair_pass_nbr(
+                "msg", x, idx, kmask, dist0k, wi, wj, we,
+                gcl["edge_out"]["kernel"], gcl["edge_out"]["bias"],
+                gcl["att"]["kernel"], gcl["att"]["bias"],
+                norm_constant, coords_range_layer, normalization_factor,
+                tanh, interpret=interpret, compute_dtype=compute_dtype,
+            )
+        else:
+            pass_fn = _pair_pass_sparse if sparse else _pair_pass
+            agg = pass_fn(
+                "msg", x, dist0, edge_mask, wi, wj, we,
+                gcl["edge_out"]["kernel"], gcl["edge_out"]["bias"],
+                gcl["att"]["kernel"], gcl["att"]["bias"],
+                norm_constant, coords_range_layer, normalization_factor,
+                tanh, interpret=interpret, compute_dtype=compute_dtype,
+                **({"tile_i": tile, "x0": x_entry, "valid": node_mask,
+                    "cutoff2": cutoff2} if sparse else {"tile": tile}),
+            )
         upd = jnp.concatenate([h, agg.astype(h.dtype)], axis=-1)
         upd = jax.nn.silu(_dense(upd, gcl["node_in"]))
         h = h + _dense(upd, gcl["node_out"])
@@ -479,15 +696,24 @@ def egnn_forward_pallas(
         cwi = h @ cu["coord_in"]["w_i"]["kernel"]
         cwj = _dense(h, cu["coord_in"]["w_j"])
         cwe = cu["coord_in"]["w_e"]["kernel"]
-        cagg = pass_fn(
-            "coord", x, dist0, edge_mask, cwi, cwj, cwe,
-            cu["coord_mid"]["kernel"], cu["coord_mid"]["bias"],
-            cu["coord_gate"]["kernel"], jnp.zeros(()),
-            norm_constant, coords_range_layer, normalization_factor, tanh,
-            interpret=interpret, compute_dtype=compute_dtype,
-            **({"tile_i": tile, "x0": x_entry, "valid": node_mask,
-                "cutoff2": cutoff2} if sparse else {"tile": tile}),
-        )
+        if neighbor_k is not None:
+            cagg = _pair_pass_nbr(
+                "coord", x, idx, kmask, dist0k, cwi, cwj, cwe,
+                cu["coord_mid"]["kernel"], cu["coord_mid"]["bias"],
+                cu["coord_gate"]["kernel"], jnp.zeros(()),
+                norm_constant, coords_range_layer, normalization_factor,
+                tanh, interpret=interpret, compute_dtype=compute_dtype,
+            )
+        else:
+            cagg = pass_fn(
+                "coord", x, dist0, edge_mask, cwi, cwj, cwe,
+                cu["coord_mid"]["kernel"], cu["coord_mid"]["bias"],
+                cu["coord_gate"]["kernel"], jnp.zeros(()),
+                norm_constant, coords_range_layer, normalization_factor,
+                tanh, interpret=interpret, compute_dtype=compute_dtype,
+                **({"tile_i": tile, "x0": x_entry, "valid": node_mask,
+                    "cutoff2": cutoff2} if sparse else {"tile": tile}),
+            )
         if update_coords_mask is not None:
             cagg = cagg * update_coords_mask[..., None]
         x = (x + cagg.astype(x.dtype)) * node_mask[..., None]
