@@ -8,8 +8,9 @@ steps is B*T denoise steps). Shapes follow the CA-pocket flagship config
 with bf16 compute on the MXU, realistic folded-protein pocket geometry
 (shell around the site, CA-CA >= 3.8 Å — the density the 6 Å cutoff
 adjacency actually sees in CrossDocked), and the fixed-K neighbor-list
-engine (K=16; exact for this geometry, whose in-cutoff neighbor counts max
-out at ~11 — see benchmarks/egnn_probe.py and PERF.md).
+engine (K=12; exact for this geometry, whose in-cutoff neighbor counts max
+out at ~11 including self — see benchmarks/egnn_probe.py and PERF.md; rows
+with more neighbors keep the K nearest).
 
 Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
@@ -43,7 +44,7 @@ def main():
     use_pallas = os.environ.get("BENCH_PALLAS", "0") == "1"
     use_dense = os.environ.get("BENCH_DENSE", "0") == "1"
     b = int(os.environ.get("BENCH_BATCH", "48"))
-    k = int(os.environ.get("BENCH_K", "16"))
+    k = int(os.environ.get("BENCH_K", "12"))
     egnn = dataclasses.replace(
         cfg.dynamics.egnn,
         compute_dtype=jnp.bfloat16,
@@ -105,7 +106,7 @@ def main():
                 "metric": "egnn_denoise_steps_per_sec_per_chip",
                 "value": round(steps_per_sec, 2),
                 "unit": "denoise steps/s/chip (CA config: hidden 256, "
-                        "5 layers, N=118, bf16, neighbor-list K=16)",
+                        f"5 layers, N=118, bf16, neighbor-list K={k})",
                 "vs_baseline": round(steps_per_sec / 50000.0, 4),
             }
         )

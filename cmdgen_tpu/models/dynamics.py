@@ -88,13 +88,17 @@ class EGNNDynamics(nn.Module):
             edge_mask = edge_mask * (d2 <= cfg.edge_cutoff**2).astype(edge_mask.dtype)
 
         update_coords_mask = None
+        update_rows = None
         if not cfg.update_pocket_coords:
             update_coords_mask = jnp.concatenate(
                 [mask_phar, jnp.zeros_like(mask_pocket)], axis=-1
             )
+            # pharmacophore nodes come first in the concat: the coordinate
+            # pass only ever moves those rows (statically known)
+            update_rows = xh_phar.shape[-2]
 
         h_final, x_final = EGNN(cfg.egnn, out_node_nf=cfg.joint_nf + 1, name="egnn")(
-            h, x, edge_mask, mask, update_coords_mask
+            h, x, edge_mask, mask, update_coords_mask, update_rows
         )
         vel = (x_final - x) * mask[..., None]
 

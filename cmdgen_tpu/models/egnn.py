@@ -102,13 +102,19 @@ class PairFirstLayer(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, h, e, nbr=None):
+    def __call__(self, h, e, nbr=None, rows=None):
+        """rows: optionally restrict the receiver (i) axis to the first
+        ``rows`` nodes — e (and nbr) must already be row-sliced to match."""
         wi = nn.Dense(self.features, use_bias=False, dtype=self.dtype, name="w_i")(h)
         wj = nn.Dense(self.features, use_bias=True, dtype=self.dtype, name="w_j")(h)
         we = nn.Dense(self.features, use_bias=False, dtype=self.dtype, name="w_e")(e)
+        if rows is not None:
+            wi = wi[..., :rows, :]
         if nbr is None:
-            return wi[..., :, None, :] + wj[..., None, :, :] + we
-        return wi[..., :, None, :] + gather_nodes(wj, nbr) + we
+            wj_pair = wj[..., None, :, :]
+        else:
+            wj_pair = gather_nodes(wj, nbr)
+        return wi[..., :, None, :] + wj_pair + we
 
 
 def _aggregate(msg, edge_mask, cfg: EGNNConfig):
@@ -165,10 +171,25 @@ class EquivariantUpdate(nn.Module):
 
     @nn.compact
     def __call__(self, h, x, coord_diff, edge_attr, edge_mask,
-                 update_coords_mask, nbr=None):
+                 update_coords_mask, nbr=None, update_rows=None):
+        """update_rows: receivers beyond the first ``update_rows`` nodes are
+        statically known frozen (the conditional model's pocket,
+        dynamics.py:update_pocket_coords=False), so their pair messages are
+        never computed instead of being computed and masked away — exact,
+        and it removes the dominant share of coordinate-pass FLOPs when the
+        movable set is small (8 pharmacophore vs ~110 pocket nodes)."""
         cfg = self.cfg
         dt = cfg.compute_dtype
-        out = PairFirstLayer(cfg.hidden_nf, dtype=dt, name="coord_in")(h, edge_attr, nbr)
+        r = update_rows
+        if r is not None:
+            edge_attr = edge_attr[..., :r, :, :]
+            coord_diff = coord_diff[..., :r, :, :]
+            edge_mask = edge_mask[..., :r, :]
+            if nbr is not None:
+                nbr = nbr[..., :r, :, :]
+        out = PairFirstLayer(cfg.hidden_nf, dtype=dt, name="coord_in")(
+            h, edge_attr, nbr, rows=r
+        )
         out = nn.silu(out)
         out = nn.Dense(cfg.hidden_nf, dtype=dt, name="coord_mid")(out)
         out = nn.silu(out)
@@ -188,6 +209,10 @@ class EquivariantUpdate(nn.Module):
         else:
             trans = coord_diff * gate
         agg = _aggregate(trans, edge_mask, cfg)
+        if r is not None:
+            agg = jnp.pad(
+                agg, [(0, 0)] * (agg.ndim - 2) + [(0, x.shape[-2] - r), (0, 0)]
+            )
         if update_coords_mask is not None:
             agg = agg * update_coords_mask[..., None]
         return x + agg.astype(x.dtype)
@@ -212,7 +237,7 @@ class EquivariantBlock(nn.Module):
 
     @nn.compact
     def __call__(self, h, x, dist0, edge_mask, node_mask, update_coords_mask,
-                 nbr=None):
+                 nbr=None, update_rows=None):
         cfg = self.cfg
         if nbr is None:
             radial, coord_diff = coord2diff(x, cfg.norm_constant)
@@ -228,7 +253,8 @@ class EquivariantBlock(nn.Module):
             h = GCL(cfg, name=f"gcl_{i}")(h, edge_attr, edge_mask, nbr)
             h = h * node_mask[..., None]
         x = EquivariantUpdate(cfg, self.coords_range_layer, name="coord_update")(
-            h, x, coord_diff, edge_attr, edge_mask, update_coords_mask, nbr
+            h, x, coord_diff, edge_attr, edge_mask, update_coords_mask, nbr,
+            update_rows,
         )
         x = x * node_mask[..., None]
         h = h * node_mask[..., None]
@@ -254,7 +280,8 @@ class EGNN(nn.Module):
     remat: bool = True  # rematerialize [B,N,N,H] pair activations in bwd
 
     @nn.compact
-    def __call__(self, h, x, edge_mask, node_mask, update_coords_mask=None):
+    def __call__(self, h, x, edge_mask, node_mask, update_coords_mask=None,
+                 update_rows=None):
         cfg = self.cfg
         dt = cfg.compute_dtype
         coords_range_layer = cfg.coords_range / cfg.n_layers
@@ -276,10 +303,14 @@ class EGNN(nn.Module):
             dist0, _ = coord2diff(x)
         dist0 = dist0.astype(dt)
         h = nn.Dense(cfg.hidden_nf, dtype=dt, name="embedding")(h.astype(dt))
-        block_cls = nn.remat(EquivariantBlock) if self.remat else EquivariantBlock
+        block_cls = (
+            nn.remat(EquivariantBlock, static_argnums=(8,))
+            if self.remat else EquivariantBlock
+        )
         for i in range(cfg.n_layers):
             h, x = block_cls(cfg, coords_range_layer, name=f"e_block_{i}")(
-                h, x, dist0, edge_mask, node_mask, update_coords_mask, nbr
+                h, x, dist0, edge_mask, node_mask, update_coords_mask, nbr,
+                update_rows,
             )
         h = nn.Dense(self.out_node_nf, dtype=dt, name="embedding_out")(h)
         h = h * node_mask[..., None]

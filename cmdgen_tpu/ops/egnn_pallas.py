@@ -422,11 +422,15 @@ def _make_nbr_kernel(mode: str, n_pad: int, k: int, hdim: int,
                      compute_dtype=jnp.bfloat16):
     """Fixed-K neighbor-list pair pass, one program per batch element.
 
-    The whole [N, K, H] pair block lives in VMEM; the neighbor gather is an
-    in-kernel one-hot matmul (built from idx by an iota compare); K is a
-    multiple of 8 so the (N*K, H) <-> (N, K, H) reshapes are sublane splits
-    and layout-free. HBM traffic per program is O(N*H) (h-level inputs and
-    the aggregated output) instead of the XLA path's O(N*K*H) chains.
+    The whole [N*K, H] pair block lives in VMEM. Everything is strictly 2-D
+    (Mosaic's layout inference rejects lane<->sublane shape casts): the
+    neighbor gather, the receiver broadcast, and the per-receiver K-sum are
+    all matmuls against iota-built 0/1 matrices —
+      onehot [NK, N]  (row r selects neighbor idx[r]),
+      expand [NK, N]  (row r selects receiver r // K),
+      agg = expand.T  (column-sum of each receiver's K rows).
+    HBM traffic per program is O(N*H) (node-level inputs + aggregated
+    output) instead of the XLA path's O(N*K*H) tensor chains.
     """
     nk = n_pad * k
 
@@ -435,10 +439,10 @@ def _make_nbr_kernel(mode: str, n_pad: int, k: int, hdim: int,
         return v / (one + jnp.exp(-v))
 
     def kernel(
-        x_ref,      # [1, N, 3]   current coords (f32)
-        idx_ref,    # [1, N, k]   neighbor indices (int32)
-        kmask_ref,  # [1, N, k]   neighbor validity (f32)
-        dist0_ref,  # [1, N, k]   entry-coordinate squared distances (f32)
+        x_ref,      # [1, N, 3]    current coords (f32)
+        idx_ref,    # [1, NK, 1]   neighbor indices, flattened (int32)
+        kmask_ref,  # [1, NK, 1]   neighbor validity, flattened (f32)
+        dist0_ref,  # [1, NK, 1]   entry squared distances, flattened (f32)
         wi_ref,     # [1, N, H]
         wj_ref,     # [1, N, H]
         we_ref,     # [2, H]
@@ -454,32 +458,33 @@ def _make_nbr_kernel(mode: str, n_pad: int, k: int, hdim: int,
         norm_factor = scal_ref[0, 2]
         tanh_flag = scal_ref[0, 3]
 
-        # one-hot neighbor selection [N*k, N] from idx by iota compare
-        idx_flat = idx_ref[0].reshape(nk, 1)
         lane = jax.lax.broadcasted_iota(jnp.int32, (nk, n_pad), 1)
-        onehot = (lane == idx_flat).astype(compute_dtype)
+        row = jax.lax.broadcasted_iota(jnp.int32, (nk, n_pad), 0)
+        onehot = (lane == idx_ref[0]).astype(compute_dtype)   # [NK, N]
+        expand = (lane == row // k).astype(compute_dtype)     # [NK, N]
 
-        x = x_ref[0]                                     # [N, 3]
-        x_j = jnp.dot(
-            onehot, x.astype(compute_dtype),
-            preferred_element_type=jnp.float32,
-        ).reshape(n_pad, k, 3)
-        diff = x[:, None, :] - x_j                       # [N, k, 3]
-        radial = jnp.sum(diff * diff, axis=-1)           # [N, k]
+        x = x_ref[0].astype(compute_dtype)                    # [N, 3]
+        x_j = jnp.dot(onehot, x, preferred_element_type=jnp.float32)
+        x_i = jnp.dot(expand, x, preferred_element_type=jnp.float32)
+        diff = x_i - x_j                                      # [NK, 3]
+        radial = jnp.sum(diff * diff, axis=-1, keepdims=True)  # [NK, 1]
 
         wj_g = jnp.dot(
             onehot, wj_ref[0].astype(compute_dtype),
             preferred_element_type=jnp.float32,
-        ).astype(compute_dtype).reshape(n_pad, k, hdim)
-        we_r = we_ref[0:1, :].reshape(1, 1, hdim).astype(compute_dtype)
-        we_d = we_ref[1:2, :].reshape(1, 1, hdim).astype(compute_dtype)
+        ).astype(compute_dtype)
+        wi_e = jnp.dot(
+            expand, wi_ref[0].astype(compute_dtype),
+            preferred_element_type=jnp.float32,
+        ).astype(compute_dtype)
+        we_r = we_ref[0:1, :].astype(compute_dtype)           # [1, H]
+        we_d = we_ref[1:2, :].astype(compute_dtype)
         pre = (
-            wi_ref[0][:, None, :].astype(compute_dtype)
-            + wj_g
-            + radial[..., None].astype(compute_dtype) * we_r
-            + dist0_ref[0][..., None].astype(compute_dtype) * we_d
-        )                                                # [N, k, H]
-        m = _silu(pre.astype(compute_dtype)).reshape(nk, hdim)
+            wi_e + wj_g
+            + radial.astype(compute_dtype) * we_r
+            + dist0_ref[0].astype(compute_dtype) * we_d
+        )                                                     # [NK, H]
+        m = _silu(pre)
         m = (
             jnp.dot(
                 m, w2_ref[:].astype(compute_dtype),
@@ -488,7 +493,7 @@ def _make_nbr_kernel(mode: str, n_pad: int, k: int, hdim: int,
             + b2_ref[0][None, :]
         )
         m = _silu(m.astype(compute_dtype))
-        kmask = kmask_ref[0]                             # [N, k]
+        kmask = kmask_ref[0]                                  # [NK, 1]
 
         if mode == "msg":
             att = jax.nn.sigmoid(
@@ -498,11 +503,13 @@ def _make_nbr_kernel(mode: str, n_pad: int, k: int, hdim: int,
                 )
                 + headb_ref[0, 0]
             )
-            mm = (m.astype(jnp.float32) * att).reshape(n_pad, k, hdim)
-            mm = mm * kmask[..., None]
-            out_ref[0] = (jnp.sum(mm, axis=1) / norm_factor).astype(
-                out_ref.dtype
-            )
+            mm = (m.astype(jnp.float32) * att * kmask).astype(compute_dtype)
+            # expand^T @ mm as a dot_general (no materialized transpose)
+            agg = jax.lax.dot_general(
+                expand, mm, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )                                                 # [N, H]
+            out_ref[0] = (agg / norm_factor).astype(out_ref.dtype)
         else:
             g = jnp.dot(
                 m, head_ref[:].astype(compute_dtype),
@@ -510,11 +517,13 @@ def _make_nbr_kernel(mode: str, n_pad: int, k: int, hdim: int,
             )
             g = jnp.where(tanh_flag > 0, jnp.tanh(g) * coords_range, g)
             norm = jnp.sqrt(radial + 1e-8)
-            cd = diff / (norm + norm_constant)[..., None]
-            trans = cd * g.reshape(n_pad, k, 1) * kmask[..., None]
-            out_ref[0] = (jnp.sum(trans, axis=1) / norm_factor).astype(
-                out_ref.dtype
-            )
+            cd = diff / (norm + norm_constant)
+            trans = (cd * g * kmask).astype(compute_dtype)    # [NK, 3]
+            cagg = jax.lax.dot_general(
+                expand, trans, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )                                                 # [N, 3]
+            out_ref[0] = (cagg / norm_factor).astype(out_ref.dtype)
 
     return kernel
 
@@ -562,6 +571,7 @@ def _pair_pass_nbr(
     )
     out_dim = hdim if mode == "msg" else 3
     kernel = _make_nbr_kernel(mode, n_pad, kk, hdim, compute_dtype)
+    nk = n_pad * kk
 
     im_row3 = lambda bi: (bi, 0, 0)
     im_w = lambda bi: (0, 0)
@@ -571,9 +581,9 @@ def _pair_pass_nbr(
         grid=(b,),
         in_specs=[
             pl.BlockSpec((1, n_pad, 3), im_row3, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, n_pad, kk), im_row3, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, n_pad, kk), im_row3, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, n_pad, kk), im_row3, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, nk, 1), im_row3, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, nk, 1), im_row3, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, nk, 1), im_row3, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, n_pad, hdim), im_row3, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, n_pad, hdim), im_row3, memory_space=pltpu.VMEM),
             pl.BlockSpec((2, hdim), im_w, memory_space=pltpu.VMEM),
@@ -590,9 +600,9 @@ def _pair_pass_nbr(
         interpret=interpret,
     )(
         x.astype(jnp.float32),
-        idx.astype(jnp.int32),
-        kmask.astype(jnp.float32),
-        dist0.astype(jnp.float32),
+        idx.astype(jnp.int32).reshape(b, nk, 1),
+        kmask.astype(jnp.float32).reshape(b, nk, 1),
+        dist0.astype(jnp.float32).reshape(b, nk, 1),
         wi.astype(compute_dtype),
         wj.astype(compute_dtype),
         we.astype(compute_dtype),

@@ -184,6 +184,26 @@ def test_neighbor_list_overflow_keeps_nearest(setup):
     assert np.isfinite(np.asarray(h2)).all() and np.isfinite(np.asarray(x2)).all()
 
 
+def test_update_rows_exact(setup):
+    """Statically slicing the coordinate pass to the movable receivers
+    (update_rows) must be bit-equivalent to computing all receivers and
+    masking: frozen rows' aggregates are multiplied by zero either way."""
+    import dataclasses
+
+    model, params, h, x, mask, edge_mask, rng = setup
+    n = x.shape[1]
+    r = 3
+    ucm = jnp.asarray(
+        (np.arange(n)[None, :] < r).astype(np.float32)
+    ) * jnp.ones((x.shape[0], 1))
+    for cfg in (SMALL, dataclasses.replace(SMALL, neighbor_k=6)):
+        m = EGNN(cfg, out_node_nf=h.shape[-1])
+        h1, x1 = m.apply(params, h, x, edge_mask, mask, ucm)
+        h2, x2 = m.apply(params, h, x, edge_mask, mask, ucm, r)
+        np.testing.assert_allclose(np.asarray(h1), np.asarray(h2), atol=1e-6)
+        np.testing.assert_allclose(np.asarray(x1), np.asarray(x2), atol=1e-6)
+
+
 def test_neighbor_list_equivariance(setup):
     import dataclasses
 
