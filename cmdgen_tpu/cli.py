@@ -49,6 +49,12 @@ def _add_train_diffphar(sub):
     p.add_argument("--max-steps", type=int, default=None)
     p.add_argument("--epochs", type=int, default=None)
     p.add_argument("--batch-size", type=int, default=None)
+    p.add_argument(
+        "--neighbor-k", type=int, default=None,
+        help="fixed-K neighbor-list EGNN engine (exact when K bounds the "
+             "in-cutoff neighbor count; realistic pockets max ~11; "
+             "K=12 is ~4x faster than the dense default — see PERF.md)",
+    )
 
     def run(args):
         import dataclasses
@@ -66,6 +72,16 @@ def _add_train_diffphar(sub):
         if args.batch_size:
             tr = dataclasses.replace(tr, batch_size=args.batch_size)
         cfg = dataclasses.replace(cfg, train=tr)
+        if args.neighbor_k:
+            cfg = dataclasses.replace(
+                cfg,
+                dynamics=dataclasses.replace(
+                    cfg.dynamics,
+                    egnn=dataclasses.replace(
+                        cfg.dynamics.egnn, neighbor_k=args.neighbor_k
+                    ),
+                ),
+            )
         from cmdgen_tpu.utils.logging import MetricsLogger
 
         logger = MetricsLogger(args.out_dir, cfg.train.run_name)
@@ -102,13 +118,33 @@ def _add_sample_phars(sub):
     p.add_argument("--n-samples", type=int, default=100)
     p.add_argument("--timesteps", type=int, default=None)
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument(
+        "--neighbor-k", type=int, default=None,
+        help="sample with the fixed-K neighbor-list engine regardless of "
+             "the training engine (same parameters, same function when K "
+             "bounds the in-cutoff neighbor count; K=12 is ~4x faster)",
+    )
 
     def run(args):
+        import dataclasses
+
         import jax
 
         from cmdgen_tpu.pipeline.sample_phars import sample_phars_to_json
+        from cmdgen_tpu.train.diffphar_train import build_model
 
         model, params, cfg = _load_diffphar_ckpt(args.ckpt_dir)
+        if args.neighbor_k:
+            cfg = dataclasses.replace(
+                cfg,
+                dynamics=dataclasses.replace(
+                    cfg.dynamics,
+                    egnn=dataclasses.replace(
+                        cfg.dynamics.egnn, neighbor_k=args.neighbor_k
+                    ),
+                ),
+            )
+            model = build_model(cfg)
         sample_phars_to_json(
             model, params, jax.random.PRNGKey(args.seed), args.pdbfile,
             args.out_json, dataset=cfg.data.dataset,
