@@ -320,6 +320,83 @@ def _add_generate(sub):
     p.set_defaults(run=run)
 
 
+def _add_run_all(sub):
+    p = sub.add_parser(
+        "run-all",
+        help="pocket PDB(s) -> aligned molecules, one overlapped run "
+             "(sample -> consensus -> generate -> align as a streaming "
+             "driver instead of four file-to-file stages)",
+    )
+    p.add_argument("diff_ckpt", help="DiffPhar checkpoint dir")
+    p.add_argument("gcpg_ckpt", help="GCPG checkpoint dir")
+    p.add_argument("out_dir")
+    p.add_argument("pdbfiles", nargs="+")
+    p.add_argument("--ref-ligand", default=None, help="chain:resid")
+    p.add_argument("--resi-list", nargs="*", default=None)
+    p.add_argument("--n-clouds", type=int, default=64)
+    p.add_argument("--timesteps", type=int, default=None)
+    p.add_argument("--consensus", default="gmm",
+                   choices=["gmm", "kmeans", "dbscan"])
+    p.add_argument("--cluster-counts", type=int, nargs="+", default=[4, 5])
+    p.add_argument("--smiles-per-hypothesis", type=int, default=256)
+    p.add_argument("--n-conformers", type=int, default=5)
+    p.add_argument("--neighbor-k", type=int, default=12)
+    p.add_argument("--seed", type=int, default=0)
+
+    def run(args):
+        import dataclasses
+        import json
+
+        import jax
+
+        from cmdgen_tpu.pipeline.run_all import (
+            PipelineConfig,
+            run_pipeline,
+            write_pipeline_results,
+        )
+        from cmdgen_tpu.pipeline.sample_phars import pocket_point_cloud
+        from cmdgen_tpu.train.diffphar_train import build_model
+
+        model, params, cfg = _load_diffphar_ckpt(args.diff_ckpt)
+        if args.neighbor_k:
+            cfg = dataclasses.replace(
+                cfg,
+                dynamics=dataclasses.replace(
+                    cfg.dynamics,
+                    egnn=dataclasses.replace(
+                        cfg.dynamics.egnn, neighbor_k=args.neighbor_k
+                    ),
+                ),
+            )
+            model = build_model(cfg)
+        gmodel, gparams, tokenizer = _load_gcpg_ckpt(args.gcpg_ckpt)
+        pockets = [
+            pocket_point_cloud(
+                f, cfg.data.dataset, cfg.data.pocket_representation,
+                ref_ligand=args.ref_ligand, resi_list=args.resi_list,
+            )
+            for f in args.pdbfiles
+        ]
+        pcfg = PipelineConfig(
+            n_clouds_per_pocket=args.n_clouds,
+            diff_timesteps=args.timesteps,
+            cluster_counts=tuple(args.cluster_counts),
+            consensus_method=args.consensus,
+            smiles_per_hypothesis=args.smiles_per_hypothesis,
+            decode_batch=min(256, args.smiles_per_hypothesis),
+            n_conformers=args.n_conformers,
+        )
+        results, stats = run_pipeline(
+            model, params, gmodel, gparams, tokenizer, pockets,
+            jax.random.PRNGKey(args.seed), pcfg,
+        )
+        out = write_pipeline_results(results, args.out_dir)
+        print(json.dumps(stats))
+        print(f"wrote {out}")
+
+    p.set_defaults(run=run)
+
+
 def _add_align(sub):
     p = sub.add_parser(
         "align",
@@ -424,6 +501,7 @@ def main(argv=None):
     _add_train_gcpg(sub)
     _add_generate(sub)
     _add_align(sub)
+    _add_run_all(sub)
     _add_eval(sub)
     args = parser.parse_args(argv)
     args.run(args)

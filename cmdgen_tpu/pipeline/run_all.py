@@ -277,3 +277,37 @@ def run_pipeline(
         if k.endswith("_busy_s"):
             stats[k] = round(stats[k], 2)
     return results, stats
+
+
+def write_pipeline_results(results: Sequence[PipelineResult], out_dir):
+    """Write each aligned molecule as a posed multi-conformer SDF
+    (mol_<hyp>_<i>.sdf, best conformer first) plus results.json with the
+    per-molecule best RMSD — the artifact layout of the reference's stage-4
+    output directory (align_test_wrn.py)."""
+    import json
+    from pathlib import Path
+
+    from cmdgen_tpu.chem.mol import mol_from_smiles
+    from cmdgen_tpu.chem.sdf import write_sdf
+
+    out_dir = Path(out_dir)
+    out_dir.mkdir(parents=True, exist_ok=True)
+    index = []
+    for i, r in enumerate(results):
+        mol = mol_from_smiles(r.smiles)
+        if mol is None:
+            continue
+        symbols = [a.symbol for a in mol.atoms]
+        bonds = [(bd.a1, bd.a2, bd.order) for bd in mol.bonds]
+        mols = [
+            (symbols, coords, f"{r.smiles} rmsd={e:.3f}")
+            for e, coords in r.conformers
+        ]
+        path = out_dir / f"mol_{r.hypothesis}_{i}.sdf"
+        write_sdf(path, mols, bonds_list=[bonds] * len(mols))
+        index.append({
+            "file": path.name, "smiles": r.smiles,
+            "hypothesis": r.hypothesis, "rmsd": round(r.rmsd, 4),
+        })
+    (out_dir / "results.json").write_text(json.dumps(index, indent=1))
+    return out_dir / "results.json"

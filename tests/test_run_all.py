@@ -53,7 +53,7 @@ def tiny_models():
     return diff_model, diff_params, gmodel, gparams, tok, pockets
 
 
-def test_run_pipeline_end_to_end(tiny_models, monkeypatch):
+def test_run_pipeline_end_to_end(tiny_models, monkeypatch, tmp_path):
     diff_model, diff_params, gmodel, gparams, tok, pockets = tiny_models
 
     # deterministic consensus: a hypothesis the C/O-vocab decodes can match
@@ -109,6 +109,17 @@ def test_run_pipeline_end_to_end(tiny_models, monkeypatch):
     # no duplicate (smiles, hypothesis) results from chunk padding
     seen = [(r.smiles, r.hypothesis) for r in results]
     assert len(seen) == len(set(seen))
+
+    # artifact writer: posed SDFs + results.json index
+    import json
+
+    out = run_all.write_pipeline_results(results, tmp_path / "out")
+    index = json.loads(out.read_text())
+    assert len(index) == len(results)
+    from cmdgen_tpu.chem.sdf import read_sdf
+
+    first = read_sdf(tmp_path / "out" / index[0]["file"])
+    assert 1 <= len(first) <= 2  # num_keep conformers
 
 
 def test_run_pipeline_propagates_errors(tiny_models):
