@@ -173,7 +173,8 @@ def make_diffphar_dataset(out_dir, n_complexes=600, seed=0):
     return out_dir
 
 
-def diffphar_quality(quick=False):
+def diffphar_quality(quick=False, epochs=None, n_complexes=None,
+                     neighbor_k=None):
     from cmdgen_tpu import config as cfgmod
     from cmdgen_tpu.data.dataset import DiffPharDataset
     from cmdgen_tpu.models.egnn import EGNNConfig
@@ -189,17 +190,20 @@ def diffphar_quality(quick=False):
                 hidden_nf=64 if quick else 128,
                 n_layers=1 if quick else 3,
                 inv_sublayers=1,
+                neighbor_k=neighbor_k,
             ),
         ),
         ddpm=dataclasses.replace(cfg.ddpm, timesteps=20 if quick else 100),
         train=dataclasses.replace(
-            cfg.train, batch_size=16, n_epochs=2 if quick else 40,
+            cfg.train, batch_size=16,
+            n_epochs=epochs or (2 if quick else 40),
             lr=3e-4, clip_grad=True,
         ),
     )
     with tempfile.TemporaryDirectory() as tmp:
         data = make_diffphar_dataset(
-            pathlib.Path(tmp) / "data", 60 if quick else 600
+            pathlib.Path(tmp) / "data",
+            n_complexes or (60 if quick else 600),
         )
         t0 = time.time()
         state, model = train_diffphar(cfg, data, pathlib.Path(tmp) / "ckpt")
@@ -221,10 +225,17 @@ if __name__ == "__main__":
     ap.add_argument("--quick", action="store_true")
     ap.add_argument("--skip-diffphar", action="store_true")
     ap.add_argument("--skip-gcpg", action="store_true")
+    ap.add_argument("--diffphar-epochs", type=int, default=None)
+    ap.add_argument("--diffphar-complexes", type=int, default=None)
+    ap.add_argument("--diffphar-neighbor-k", type=int, default=None)
     args = ap.parse_args()
     out = {}
     if not args.skip_diffphar:
-        out.update(diffphar_quality(args.quick))
+        out.update(diffphar_quality(
+            args.quick, epochs=args.diffphar_epochs,
+            n_complexes=args.diffphar_complexes,
+            neighbor_k=args.diffphar_neighbor_k,
+        ))
         print("# diffphar done:", json.dumps(out))
     if not args.skip_gcpg:
         out.update(gcpg_quality(args.quick))
