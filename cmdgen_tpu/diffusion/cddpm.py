@@ -25,6 +25,7 @@ from typing import Dict, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from cmdgen_tpu.containers import PointCloud, mask_from_sizes
 from cmdgen_tpu.diffusion.gamma_net import GammaNetwork
@@ -384,6 +385,15 @@ class ConditionalDDPM:
         Equivalent of conditional_model.py:412-475 with the T-step Python
         loop replaced by one on-device lax.scan.
 
+        ``timesteps`` < the training T runs a RESPACED reverse chain: the
+        (s, t) pairs stride an evenly-spaced subsequence of the full
+        schedule (tau_0=0 < ... < tau_S=T), using the same closed-form
+        q(z_s | z_t, x) transition — `_denoise_step` is valid for any
+        s < t. (Plain truncation — running only the last S integer steps
+        from a z ~ N(0, I) init — is inconsistent with gamma_S and was the
+        round-1 behavior.) timesteps == T reproduces the full chain
+        exactly.
+
         Returns (phar, pocket_out) in *model* scale already unnormalized;
         pocket_out may be translated relative to the input (the caller
         shifts back by the pocket-CoM difference, as the reference does in
@@ -391,7 +401,7 @@ class ConditionalDDPM:
         """
         cfg = self.cfg
         nd = cfg.n_dims
-        T = cfg.timesteps if timesteps is None else timesteps
+        T = cfg.timesteps if timesteps is None else min(timesteps, cfg.timesteps)
         b = pocket.batch
         pocket = self.normalize(pocket)
 
@@ -413,19 +423,18 @@ class ConditionalDDPM:
             k_init, mu, xh0_pocket, jnp.ones(()), phar_mask, pocket.mask
         )
 
-        def step(carry, s):
+        def step(carry, st):
             z, xh_pkt, key = carry
             key, sub = jax.random.split(key)
             z, xh_pkt = self._denoise_step(
-                params, sub, z, xh_pkt, s.astype(jnp.float32),
-                (s + 1).astype(jnp.float32), phar_mask, pocket.mask
+                params, sub, z, xh_pkt, st[0], st[1], phar_mask, pocket.mask
             )
             return (z, xh_pkt, key), None
 
         (z_phar, xh_pocket, _), _ = jax.lax.scan(
             step,
             (z_phar, xh_pocket, k_scan),
-            jnp.arange(T - 1, -1, -1),
+            respaced_st_pairs(cfg.timesteps, T),
         )
 
         # final p(x, h | z0) (conditional_model.py:110-135)
@@ -459,6 +468,16 @@ class ConditionalDDPM:
         return phar_out, pocket_out
 
 
+def respaced_st_pairs(t_full: int, s_steps: int) -> jnp.ndarray:
+    """(s, t) step pairs for a respaced reverse chain: an evenly spaced
+    subsequence tau_0=0 < ... < tau_S = t_full of the training schedule,
+    returned as [S, 2] float32 rows (s, t) ordered from t = t_full down.
+    s_steps == t_full reduces to the standard (t-1, t) ancestral chain."""
+    taus = np.round(np.linspace(0.0, t_full, s_steps + 1)).astype(np.float32)
+    pairs = np.stack([taus[:-1], taus[1:]], axis=-1)[::-1]
+    return jnp.asarray(pairs.copy())
+
+
 def sample_chain_given_pocket(
     model: "ConditionalDDPM",
     params,
@@ -475,7 +494,7 @@ def sample_chain_given_pocket(
     (phar, pocket_out, frames [F, B, N, 3] unnormalized x coordinates)."""
     cfg = model.cfg
     nd = cfg.n_dims
-    T = cfg.timesteps if timesteps is None else timesteps
+    T = cfg.timesteps if timesteps is None else min(timesteps, cfg.timesteps)
     b = pocket.batch
     pocket_n = model.normalize(pocket)
     phar_mask = mask_from_sizes(num_nodes_phar, n_phar_max)
@@ -490,17 +509,17 @@ def sample_chain_given_pocket(
         k_init, mu, pocket_n.xh, jnp.ones(()), phar_mask, pocket_n.mask
     )
 
-    def step(carry, s):
+    def step(carry, st):
         z, xh_pkt, key = carry
         key, sub = jax.random.split(key)
         z, xh_pkt = model._denoise_step(
-            params, sub, z, xh_pkt, s.astype(jnp.float32),
-            (s + 1).astype(jnp.float32), phar_mask, pocket_n.mask,
+            params, sub, z, xh_pkt, st[0], st[1], phar_mask, pocket_n.mask,
         )
         return (z, xh_pkt, key), z[..., :nd]
 
     (z_phar, xh_pocket, _), frames = jax.lax.scan(
-        step, (z_phar, xh_pocket, k_scan), jnp.arange(T - 1, -1, -1)
+        step, (z_phar, xh_pocket, k_scan),
+        respaced_st_pairs(cfg.timesteps, T),
     )
     stride = max(T // keep_frames, 1)
     frames = model.unnormalize_x(frames[::stride])

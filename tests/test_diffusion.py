@@ -124,6 +124,45 @@ def test_sampler_invariants(model_and_params):
     np.testing.assert_allclose(d_in, d_out, atol=1e-3)
 
 
+def test_respaced_sampling(model_and_params):
+    """timesteps < T runs a respaced chain over an evenly-strided
+    subsequence of the schedule: full-T request must equal the default
+    chain exactly, the pair table must span [0, T] monotonically, and a
+    short respaced chain must keep every sampler invariant."""
+    from cmdgen_tpu.diffusion.cddpm import respaced_st_pairs
+
+    model, params, phar, pocket = model_and_params
+    T = model.cfg.timesteps
+
+    pairs = np.asarray(respaced_st_pairs(T, 5))
+    assert pairs.shape == (5, 2)
+    assert pairs[0, 1] == T and pairs[-1, 0] == 0
+    assert (pairs[:, 0] < pairs[:, 1]).all()
+    # consecutive: s of row i == t of row i+1
+    np.testing.assert_array_equal(pairs[1:, 1], pairs[:-1, 0])
+    full = np.asarray(respaced_st_pairs(T, T))
+    np.testing.assert_array_equal(full[:, 1], np.arange(T, 0, -1))
+
+    num_nodes = jnp.asarray([3, 5, 6])
+    out_default, _ = model.sample_given_pocket(
+        params, jax.random.PRNGKey(3), pocket, num_nodes, NP_MAX
+    )
+    out_full, _ = model.sample_given_pocket(
+        params, jax.random.PRNGKey(3), pocket, num_nodes, NP_MAX, timesteps=T
+    )
+    np.testing.assert_allclose(
+        np.asarray(out_default.x), np.asarray(out_full.x), atol=1e-6
+    )
+    out_fast, _ = model.sample_given_pocket(
+        params, jax.random.PRNGKey(4), pocket, num_nodes, NP_MAX, timesteps=5
+    )
+    assert np.isfinite(np.asarray(out_fast.x)).all()
+    np.testing.assert_array_equal(np.asarray(out_fast.size), [3, 5, 6])
+    hsum = np.asarray(jnp.sum(out_fast.h, axis=-1))
+    msk = np.asarray(out_fast.mask)
+    np.testing.assert_allclose(hsum * msk, msk, atol=1e-6)
+
+
 def test_simple_variant_runs():
     model = _make_model(com_free=False)
     rng = np.random.RandomState(4)
