@@ -351,27 +351,30 @@ class JointDDPM:
     def sample(self, params, rng, num_nodes_phar, num_nodes_pocket,
                n_phar_max: int, n_pocket_max: int,
                timesteps: Optional[int] = None):
-        """Unconditional joint sampling (en_diffusion.py:576-647)."""
+        """Unconditional joint sampling (en_diffusion.py:576-647).
+        ``timesteps`` < T runs a respaced chain (see
+        cddpm.respaced_st_pairs); == T is the exact full chain."""
+        from cmdgen_tpu.diffusion.cddpm import respaced_st_pairs
+
         cfg = self.cfg
         nd = cfg.n_dims
-        T = cfg.timesteps if timesteps is None else timesteps
+        T = cfg.timesteps if timesteps is None else min(timesteps, cfg.timesteps)
         b = num_nodes_phar.shape[0]
         mask_p = mask_from_sizes(num_nodes_phar, n_phar_max)
         mask_q = mask_from_sizes(num_nodes_pocket, n_pocket_max)
         k_init, k_scan, k_final = jax.random.split(rng, 3)
         z_p, z_q = self._sample_joint_noise(k_init, mask_p, mask_q)
 
-        def step(carry, s):
+        def step(carry, st):
             z_p, z_q, key = carry
             key, sub = jax.random.split(key)
             z_p, z_q = self._denoise_step(
-                params, sub, z_p, z_q, s.astype(jnp.float32),
-                (s + 1).astype(jnp.float32), mask_p, mask_q,
+                params, sub, z_p, z_q, st[0], st[1], mask_p, mask_q,
             )
             return (z_p, z_q, key), None
 
         (z_p, z_q, _), _ = jax.lax.scan(
-            step, (z_p, z_q, k_scan), jnp.arange(T - 1, -1, -1)
+            step, (z_p, z_q, k_scan), respaced_st_pairs(cfg.timesteps, T)
         )
         return self._finalize(params, k_final, z_p, z_q, mask_p, mask_q)
 
