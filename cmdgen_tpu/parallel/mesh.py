@@ -47,3 +47,27 @@ def shard_batch(tree, mesh: Mesh):
 def replicate(tree, mesh: Mesh):
     s = replicated(mesh)
     return jax.tree_util.tree_map(lambda a: jax.device_put(a, s), tree)
+
+
+def tp_sharding(a, mesh: Mesh) -> NamedSharding:
+    """Tensor-parallel placement rule for one parameter array: shard the
+    output (last) dimension of weight kernels — and the matching 1-D bias
+    vectors — across ``tp``; replicate everything else. Any rule is
+    *correct* under GSPMD (XLA inserts the all-gathers/reduce-scatters the
+    computation needs); this one splits the wide hidden dimensions of the
+    EGNN/transformer Dense layers, the standard Megatron-style column
+    split."""
+    tp = mesh.shape["tp"]
+    if tp > 1 and a.shape and a.shape[-1] % tp == 0 and a.shape[-1] >= 2 * tp:
+        if a.ndim >= 2:
+            return NamedSharding(mesh, P(*([None] * (a.ndim - 1)), "tp"))
+        return NamedSharding(mesh, P("tp"))
+    return replicated(mesh)
+
+
+def shard_params_tp(tree, mesh: Mesh):
+    """Place a parameter (or optimizer-moment) pytree with tensor-parallel
+    sharding over ``tp`` (see tp_sharding) — replicated when tp == 1."""
+    return jax.tree_util.tree_map(
+        lambda a: jax.device_put(a, tp_sharding(a, mesh)), tree
+    )

@@ -76,6 +76,45 @@ def test_dp_step_matches_single_device():
         np.testing.assert_allclose(np.asarray(a), np.asarray(b_), atol=1e-5)
 
 
+def test_dp_tp_step_matches_single_device():
+    """dp=4 x tp=2: batch sharded over dp, wide Dense kernels/biases
+    Megatron-column-sharded over tp (pmesh.shard_params_tp). GSPMD inserts
+    the collectives; the step must equal the single-device step."""
+    assert len(jax.devices()) >= 8
+    model, params, phar, pocket = _setup(b=8)
+    optimizer = tstate.reference_optimizer(1e-3)
+    train_step = tstate.make_diffusion_train_step(model, optimizer, clip_grad=True)
+    rng = jax.random.PRNGKey(3)
+
+    state1 = tstate.init_state(params, optimizer)
+    state1, metrics1 = jax.jit(train_step)(state1, rng, phar, pocket)
+
+    m = pmesh.make_mesh(dp=4, tp=2)
+    # the rule must actually shard something at these shapes
+    shardings = [
+        pmesh.tp_sharding(a, m)
+        for a in jax.tree_util.tree_leaves(params)
+    ]
+    assert any(s.spec != pmesh.P() for s in shardings)
+    state_tp = tstate.init_state(params, optimizer)
+    state_tp = pmesh.shard_params_tp(state_tp, m)
+    phar_tp = pmesh.shard_batch(phar, m)
+    pocket_tp = pmesh.shard_batch(pocket, m)
+    with m:
+        state_tp, metrics_tp = jax.jit(train_step)(
+            state_tp, rng, phar_tp, pocket_tp
+        )
+
+    np.testing.assert_allclose(
+        float(metrics1["loss"]), float(metrics_tp["loss"]), rtol=1e-4
+    )
+    for a, b_ in zip(
+        jax.tree_util.tree_leaves(state1.params),
+        jax.tree_util.tree_leaves(state_tp.params),
+    ):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_), atol=1e-5)
+
+
 def test_graft_entry_and_dryrun():
     import __graft_entry__ as ge
 
