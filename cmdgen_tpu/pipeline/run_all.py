@@ -45,6 +45,15 @@ from cmdgen_tpu.pipeline.sample_phars import sample_pharmacophores
 _SENTINEL = object()
 
 
+def _drain(q: "queue.Queue") -> None:
+    """Consume a queue until its sentinel. Called by a consumer thread
+    after a fatal error so upstream ``put()`` on the bounded queue never
+    blocks (which would deadlock the join)."""
+    while True:
+        if q.get() is _SENTINEL:
+            return
+
+
 @dataclasses.dataclass
 class PipelineConfig:
     """Knobs of the overlapped driver (throughput/quality trade-offs)."""
@@ -190,6 +199,7 @@ def run_pipeline(
                 q_raw.put((hid, types, ppc, raw))
         except BaseException as e:
             errors.append(e)
+            _drain(q_hyp)
         finally:
             q_raw.put(_SENTINEL)
 
@@ -226,6 +236,7 @@ def run_pipeline(
                 stats["prep_busy_s"] += time.perf_counter() - t0
         except BaseException as e:
             errors.append(e)
+            _drain(q_raw)
         finally:
             q_prep.put(_SENTINEL)
 
@@ -258,6 +269,7 @@ def run_pipeline(
                 stats["aligned"] = len(results)
         except BaseException as e:
             errors.append(e)
+            _drain(q_prep)
 
     threads = [
         threading.Thread(target=f, name=f.__name__, daemon=True)

@@ -122,6 +122,44 @@ def test_run_pipeline_end_to_end(tiny_models, monkeypatch, tmp_path):
     assert 1 <= len(first) <= 2  # num_keep conformers
 
 
+def test_downstream_failure_does_not_deadlock(tiny_models, monkeypatch):
+    """A dying align stage must drain its input queue so upstream put()
+    never blocks on the bounded queue (the join would deadlock)."""
+    diff_model, diff_params, gmodel, gparams, tok, pockets = tiny_models
+
+    def fixed_consensus(coords, families, n_clusters=4, seed=0):
+        c = np.asarray(coords).mean(0)
+        return [("HYBL", c), ("HACC", c + np.asarray([2.5, 0, 0]))]
+
+    monkeypatch.setitem(run_all._CONSENSUS, "gmm", fixed_consensus)
+
+    def fake_generate(model, params, rng, pp_h, pp_e, pp_m, conds, **kw):
+        b = pp_h.shape[0]
+        out = np.full((b, 12), tok.s2i["<pad>"], dtype=np.int32)
+        ids = tok.parse("CCO")[1:]
+        for i in range(b):
+            out[i, : len(ids)] = ids
+        return jnp.asarray(out)
+
+    monkeypatch.setattr(run_all.gcpg_mod, "generate", fake_generate)
+
+    def boom(*a, **k):
+        raise RuntimeError("align blew up")
+
+    monkeypatch.setattr(run_all, "align_entries", boom)
+
+    cfg = run_all.PipelineConfig(
+        n_clouds_per_pocket=4, diff_timesteps=4, n_phar_max=4,
+        cluster_counts=(2,), smiles_per_hypothesis=16, decode_batch=16,
+        align_chunk=2, queue_depth=1,  # tiny queues force backpressure
+    )
+    with pytest.raises(RuntimeError, match="align blew up"):
+        run_all.run_pipeline(
+            diff_model, diff_params, gmodel, gparams, tok, pockets,
+            jax.random.PRNGKey(7), cfg,
+        )
+
+
 def test_run_pipeline_propagates_errors(tiny_models):
     diff_model, diff_params, gmodel, gparams, tok, pockets = tiny_models
     cfg = run_all.PipelineConfig(
