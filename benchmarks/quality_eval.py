@@ -144,10 +144,23 @@ def make_diffphar_dataset(out_dir, n_complexes=600, seed=0):
         complexes, names = [], []
         for _ in range(count):
             n_q = rng.randint(90, 128)
-            pocket = realistic_ca_pocket(np.random.RandomState(idx), n_q)
+            # r_lo=5: real pockets have CAs from ~5 A of the site center,
+            # so the reverse chain's CoM-centered init is never far outside
+            # the message-passing cutoff of the nearest pocket atoms
+            pocket = realistic_ca_pocket(
+                np.random.RandomState(idx), n_q, r_lo=5.0, r_hi=13.0
+            )
             n_p = rng.randint(3, 9)
             anchors = pocket[rng.choice(n_q, n_p, replace=False)]
-            phar = anchors * 0.45 + rng.randn(n_p, 3) * 0.8
+            # contact distance: each point ~3.5 A inward of its anchor CA,
+            # i.e. INSIDE the 6 A message-passing cutoff — with points
+            # beyond the cutoff the denoiser is disconnected from the
+            # pocket and the coordinate channel cannot learn (verified
+            # with an oracle eps-model: the sampler itself is exact)
+            inward = -anchors / (
+                np.linalg.norm(anchors, axis=1, keepdims=True) + 1e-9
+            )
+            phar = anchors + inward * 3.5 + rng.randn(n_p, 3) * 0.5
             types = rng.choice(8, n_p, p=type_probs)
             joint = np.concatenate([phar, pocket])
             com = joint.mean(0, keepdims=True)

@@ -124,6 +124,61 @@ def test_sampler_invariants(model_and_params):
     np.testing.assert_allclose(d_in, d_out, atol=1e-3)
 
 
+def test_sampler_recovers_oracle_target():
+    """End-to-end sampler correctness: with the analytically optimal
+    eps-model for a single-x0 dataset (eps = (z - alpha_t x0)/sigma_t),
+    the reverse chain must reproduce x0 almost exactly — full chain AND
+    respaced. This pins sampler/schedule algebra independently of any
+    trained network (it localized a round-2 quality plateau to dataset
+    geometry, not the sampler)."""
+    from cmdgen_tpu.ops import schedules as sch
+    from cmdgen_tpu.ops.masked import masked_mean
+
+    b, n_p, n_q, T = 4, 5, 10, 20
+    rng = np.random.RandomState(0)
+    pocket = PointCloud(
+        x=jnp.asarray(rng.randn(b, n_q, 3).astype(np.float32) * 3.0),
+        h=jax.nn.one_hot(jnp.asarray(rng.randint(0, POCKET_NF, (b, n_q))),
+                         POCKET_NF),
+        mask=jnp.ones((b, n_q)),
+    )
+    off = rng.randn(n_p, 3).astype(np.float32) * 1.5
+    off -= off.mean(0)
+    h0 = jax.nn.one_hot(jnp.asarray(rng.randint(0, PHAR_NF, (n_p,))), PHAR_NF)
+    base = _make_model(T=T)
+
+    def oracle(params, z_phar, xh_pocket, t_norm, phar_mask, pocket_mask):
+        gamma = base._gamma_t_norm(params, t_norm[:, 0])
+        a, s = sch.alpha(gamma), sch.sigma(gamma)
+        pocket_com = masked_mean(xh_pocket[..., :3], pocket_mask)
+        x0 = pocket_com[:, None, :] + jnp.asarray(off)[None]
+        xh0 = jnp.concatenate(
+            [x0, jnp.broadcast_to(h0 / base.cfg.norm_h,
+                                  (z_phar.shape[0], n_p, PHAR_NF))], -1
+        )
+        eps = (z_phar - a[:, None, None] * xh0) / s[:, None, None]
+        return eps * phar_mask[..., None], jnp.zeros_like(xh_pocket)
+
+    model = ConditionalDDPM(base.cfg, base.dynamics, base.size_prior,
+                            apply_fn=oracle)
+    params = base.dynamics.init(
+        jax.random.PRNGKey(0), jnp.zeros((b, n_p, 3 + PHAR_NF)), pocket.xh,
+        jnp.zeros((b, 1)), jnp.ones((b, n_p)), pocket.mask,
+    )
+    for steps in (T, 5):
+        out, _ = model.sample_given_pocket(
+            params, jax.random.PRNGKey(1), pocket, jnp.full((b,), n_p),
+            n_p, timesteps=steps,
+        )
+        xc = np.asarray(out.x) - np.asarray(out.x).mean(1, keepdims=True)
+        np.testing.assert_allclose(xc, np.broadcast_to(off, xc.shape),
+                                   atol=0.05)
+        types = np.asarray(out.h).argmax(-1)
+        np.testing.assert_array_equal(
+            types, np.broadcast_to(np.asarray(h0.argmax(-1)), types.shape)
+        )
+
+
 def test_respaced_sampling(model_and_params):
     """timesteps < T runs a respaced chain over an evenly-strided
     subsequence of the schedule: full-T request must equal the default
