@@ -141,7 +141,7 @@ def main():
         n_phar_max=n_p,
         cluster_counts=(4,) if args.quick else (4, 4),
         smiles_per_hypothesis=128 if args.quick else 512,
-        decode_batch=128 if args.quick else 256,
+        decode_batch=128 if args.quick else 512,
         n_conformers=3 if args.quick else 5,
         refine_steps=100,
         align_chunk=32 if args.quick else 64,

@@ -63,8 +63,10 @@ class PipelineConfig:
     n_phar_max: int = 8
     cluster_counts: Sequence[int] = (4, 5, 6)  # one hypothesis per count
     consensus_method: str = "gmm"        # gmm | kmeans | dbscan
-    smiles_per_hypothesis: int = 256
-    decode_batch: int = 256
+    # decode batch 512: ~1.65x the SMILES/min of 256 on a v5e (weight reads
+    # amortize across the batch; flat beyond 512 — see PERF.md)
+    smiles_per_hypothesis: int = 512
+    decode_batch: int = 512
     conditions: Optional[Dict[str, Sequence[float]]] = None
     n_conformers: int = 5
     refine_steps: int = 100
