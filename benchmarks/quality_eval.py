@@ -74,12 +74,12 @@ def make_corpus(n=8000, seed=0, max_atoms=38):
     return sorted(out)
 
 
-def gcpg_quality(quick=False):
+def gcpg_quality(quick=False, n_corpus=None, epochs=None):
     from cmdgen_tpu.config import GCPGModelConfig, GCPGTrainConfig
     from cmdgen_tpu.pipeline.evaluate import eval_gcpg
     from cmdgen_tpu.train.gcpg_train import train_gcpg
 
-    corpus = make_corpus(600 if quick else 8000)
+    corpus = make_corpus(n_corpus or (600 if quick else 8000))
     rng = random.Random(1)
     rng.shuffle(corpus)
     n_test = max(32, len(corpus) // 20)
@@ -94,7 +94,7 @@ def gcpg_quality(quick=False):
         pp_encoder_n_layer=2 if quick else 3,
         dropout=0.1,
     )
-    n_epochs = 2 if quick else 40
+    n_epochs = epochs or (2 if quick else 40)
     tcfg = GCPGTrainConfig(
         batch_size=128, n_epochs=n_epochs, lr=5e-4, cosine_t_max=n_epochs,
     )
@@ -239,6 +239,8 @@ if __name__ == "__main__":
     ap.add_argument("--skip-diffphar", action="store_true")
     ap.add_argument("--skip-gcpg", action="store_true")
     ap.add_argument("--diffphar-epochs", type=int, default=None)
+    ap.add_argument("--gcpg-corpus", type=int, default=None)
+    ap.add_argument("--gcpg-epochs", type=int, default=None)
     ap.add_argument("--diffphar-complexes", type=int, default=None)
     ap.add_argument("--diffphar-neighbor-k", type=int, default=None)
     args = ap.parse_args()
