@@ -253,5 +253,7 @@ if __name__ == "__main__":
         ))
         print("# diffphar done:", json.dumps(out))
     if not args.skip_gcpg:
-        out.update(gcpg_quality(args.quick))
+        out.update(gcpg_quality(
+            args.quick, n_corpus=args.gcpg_corpus, epochs=args.gcpg_epochs,
+        ))
     print(json.dumps(out))
