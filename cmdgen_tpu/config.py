@@ -39,6 +39,10 @@ class DiffPharTrainConfig:
     seed: int = 0
     dp: Optional[int] = None  # data-parallel size; None = all devices
     tp: int = 1
+    # update steps fused under one lax.scan per device call; >1 amortizes
+    # the per-call dispatch latency (essential over the tunnelled TPU —
+    # ~30-150 ms/call vs ~1 ms of device math; see train/state.py)
+    steps_per_call: int = 1
 
 
 @dataclasses.dataclass(frozen=True)

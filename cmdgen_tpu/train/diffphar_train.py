@@ -137,24 +137,69 @@ def train_diffphar(
     mesh = pmesh.make_mesh(dp=cfg.train.dp, tp=cfg.train.tp)
     state = pmesh.replicate(state, mesh)
     step_fn = jax.jit(train_step, donate_argnums=(0,))
+    spc = max(1, cfg.train.steps_per_call)
+    if spc > 1:
+        multi_fn = jax.jit(
+            tstate.make_diffusion_multistep(
+                model, optimizer, clip_grad=cfg.train.clip_grad
+            ),
+            donate_argnums=(0,),
+        )
 
     np_rng = np.random.RandomState(cfg.train.seed)
     step = 0
     t0 = time.time()
     from cmdgen_tpu.data.prefetch import prefetch
 
+    def _grouped(batches):
+        """Yield ('multi', [spc batches]) groups plus a ('single', b) tail
+        — every batch in a group shares shapes (global padding)."""
+        buf = []
+        for b in batches:
+            buf.append(b)
+            if len(buf) == spc:
+                yield "multi", buf
+                buf = []
+        for b in buf:
+            yield "single", [b]
+
     with mesh:
         for epoch in range(cfg.train.n_epochs):
-            for batch in prefetch(
-                train_ds.iter_batches(cfg.train.batch_size, np_rng)
+            it = prefetch(train_ds.iter_batches(cfg.train.batch_size, np_rng))
+            for kind, group in _grouped(it) if spc > 1 else (
+                ("single", [b]) for b in it
             ):
-                phar, pocket = _to_clouds(batch)
-                phar = pmesh.shard_batch(phar, mesh)
-                pocket = pmesh.shard_batch(pocket, mesh)
                 rng, sub = jax.random.split(rng)
-                state, metrics = step_fn(state, sub, phar, pocket)
-                step += 1
-                if step % 50 == 0:
+                if kind == "multi" and not (
+                    max_steps and step + spc > max_steps
+                ):
+                    clouds = [_to_clouds(b) for b in group]
+                    # [M, B, ...] stacks: steps axis leading, batch on dp
+                    sb = pmesh.NamedSharding(mesh, pmesh.P(None, "dp"))
+                    phar_stack = jax.tree_util.tree_map(
+                        lambda *a: jax.device_put(np.stack(a), sb),
+                        *[c[0] for c in clouds]
+                    )
+                    pocket_stack = jax.tree_util.tree_map(
+                        lambda *a: jax.device_put(np.stack(a), sb),
+                        *[c[1] for c in clouds]
+                    )
+                    state, mstack = multi_fn(
+                        state, sub, phar_stack, pocket_stack
+                    )
+                    metrics = jax.tree_util.tree_map(lambda a: a[-1], mstack)
+                    step += spc
+                else:
+                    for b in group:
+                        phar, pocket = _to_clouds(b)
+                        phar = pmesh.shard_batch(phar, mesh)
+                        pocket = pmesh.shard_batch(pocket, mesh)
+                        rng, sub = jax.random.split(rng)
+                        state, metrics = step_fn(state, sub, phar, pocket)
+                        step += 1
+                        if max_steps and step >= max_steps:
+                            break
+                if step % 50 < spc:
                     log_fn(step, {k: float(v) for k, v in metrics.items()})
                 if max_steps and step >= max_steps:
                     break

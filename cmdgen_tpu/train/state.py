@@ -94,6 +94,38 @@ def make_diffusion_train_step(model, optimizer: optax.GradientTransformation,
     return step
 
 
+def make_diffusion_multistep(model, optimizer: optax.GradientTransformation,
+                             clip_grad: bool = True):
+    """Multi-step train driver: runs M update steps under ONE lax.scan so a
+    training loop pays per-call dispatch latency once per M steps instead
+    of per step. On this image the axon-tunnelled TPU costs ~30-150 ms per
+    host round trip against ~1 ms of device math per step — single-step
+    loops are latency-bound by two orders of magnitude.
+
+    multistep(state, rng, phar_stack, pocket_stack) -> (state, metrics)
+    where the stacks carry a leading steps axis ([M, B, N, ...]; every
+    slice must share shapes) and metrics are per-step stacked [M].
+    Identical update math to M calls of make_diffusion_train_step with the
+    same per-step rng splits (tested).
+    """
+    step = make_diffusion_train_step(model, optimizer, clip_grad)
+
+    def multistep(state: TrainState, rng, phar_stack, pocket_stack):
+        def body(carry, xs):
+            st, key = carry
+            phar, pocket = xs
+            key, sub = jax.random.split(key)
+            st, metrics = step(st, sub, phar, pocket)
+            return (st, key), metrics
+
+        (state, _), metrics = jax.lax.scan(
+            body, (state, rng), (phar_stack, pocket_stack)
+        )
+        return state, metrics
+
+    return multistep
+
+
 def reference_optimizer(lr: float = 1e-4) -> optax.GradientTransformation:
     """AdamW(amsgrad, wd=1e-12) equivalent (lightning_modules.py:141-143)."""
     return optax.chain(

@@ -115,6 +115,43 @@ def test_dp_tp_step_matches_single_device():
         np.testing.assert_allclose(np.asarray(a), np.asarray(b_), atol=1e-5)
 
 
+def test_multistep_matches_single_steps():
+    """make_diffusion_multistep under one lax.scan == the same M updates
+    through make_diffusion_train_step with identical rng splits."""
+    model, params, phar, pocket = _setup(b=4)
+    optimizer = tstate.reference_optimizer(1e-3)
+    single = jax.jit(tstate.make_diffusion_train_step(model, optimizer, True))
+    multi = jax.jit(tstate.make_diffusion_multistep(model, optimizer, True))
+    m = 3
+    phar_stack = jax.tree_util.tree_map(
+        lambda a: jnp.stack([a] * m), phar
+    )
+    pocket_stack = jax.tree_util.tree_map(
+        lambda a: jnp.stack([a] * m), pocket
+    )
+    rng = jax.random.PRNGKey(11)
+
+    s1 = tstate.init_state(params, optimizer)
+    key = rng
+    losses = []
+    for _ in range(m):
+        key, sub = jax.random.split(key)
+        s1, met = single(s1, sub, phar, pocket)
+        losses.append(float(met["loss"]))
+
+    s2 = tstate.init_state(params, optimizer)
+    s2, mstack = multi(s2, rng, phar_stack, pocket_stack)
+    np.testing.assert_allclose(
+        np.asarray(mstack["loss"]), np.asarray(losses), rtol=1e-5
+    )
+    for a, b_ in zip(
+        jax.tree_util.tree_leaves(s1.params),
+        jax.tree_util.tree_leaves(s2.params),
+    ):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_), atol=1e-6)
+    assert int(s2.step) == m
+
+
 def test_graft_entry_and_dryrun():
     import __graft_entry__ as ge
 
