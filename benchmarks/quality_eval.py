@@ -187,7 +187,7 @@ def make_diffphar_dataset(out_dir, n_complexes=600, seed=0):
 
 
 def diffphar_quality(quick=False, epochs=None, n_complexes=None,
-                     neighbor_k=None):
+                     neighbor_k=None, steps_per_call=1, ckpt_epochs=1):
     from cmdgen_tpu import config as cfgmod
     from cmdgen_tpu.data.dataset import DiffPharDataset
     from cmdgen_tpu.models.egnn import EGNNConfig
@@ -210,7 +210,8 @@ def diffphar_quality(quick=False, epochs=None, n_complexes=None,
         train=dataclasses.replace(
             cfg.train, batch_size=16,
             n_epochs=epochs or (2 if quick else 40),
-            lr=3e-4, clip_grad=True,
+            lr=3e-4, clip_grad=True, steps_per_call=steps_per_call,
+            ckpt_epochs=ckpt_epochs,
         ),
     )
     with tempfile.TemporaryDirectory() as tmp:
@@ -243,6 +244,8 @@ if __name__ == "__main__":
     ap.add_argument("--gcpg-epochs", type=int, default=None)
     ap.add_argument("--diffphar-complexes", type=int, default=None)
     ap.add_argument("--diffphar-neighbor-k", type=int, default=None)
+    ap.add_argument("--diffphar-steps-per-call", type=int, default=1)
+    ap.add_argument("--diffphar-ckpt-epochs", type=int, default=1)
     args = ap.parse_args()
     out = {}
     if not args.skip_diffphar:
@@ -250,6 +253,8 @@ if __name__ == "__main__":
             args.quick, epochs=args.diffphar_epochs,
             n_complexes=args.diffphar_complexes,
             neighbor_k=args.diffphar_neighbor_k,
+            steps_per_call=args.diffphar_steps_per_call,
+            ckpt_epochs=args.diffphar_ckpt_epochs,
         ))
         print("# diffphar done:", json.dumps(out))
     if not args.skip_gcpg:

@@ -43,6 +43,9 @@ class DiffPharTrainConfig:
     # the per-call dispatch latency (essential over the tunnelled TPU —
     # ~30-150 ms/call vs ~1 ms of device math; see train/state.py)
     steps_per_call: int = 1
+    # checkpoint every N epochs (validation still runs every epoch); the
+    # orbax save is seconds of wall per epoch on short epochs
+    ckpt_epochs: int = 1
 
 
 @dataclasses.dataclass(frozen=True)

@@ -223,10 +223,16 @@ def train_diffphar(
                     dataset_name=cfg.data.dataset,
                 )
                 log_fn(step, {f"sampling/{k}": v for k, v in sm.items()})
-            ckpt.save_checkpoint(
-                out_dir, {"params": state.params, "opt_state": state.opt_state},
-                step=step, config=cfgmod.to_dict(cfg), monitor_value=val_loss,
+            last = (epoch + 1 == cfg.train.n_epochs) or (
+                max_steps and step >= max_steps
             )
+            if (epoch + 1) % max(1, cfg.train.ckpt_epochs) == 0 or last:
+                ckpt.save_checkpoint(
+                    out_dir,
+                    {"params": state.params, "opt_state": state.opt_state},
+                    step=step, config=cfgmod.to_dict(cfg),
+                    monitor_value=val_loss,
+                )
             if max_steps and step >= max_steps:
                 break
     return state, model
