@@ -55,6 +55,11 @@ def _add_train_diffphar(sub):
              "in-cutoff neighbor count; realistic pockets max ~11; "
              "K=12 is ~4x faster than the dense default — see PERF.md)",
     )
+    p.add_argument(
+        "--steps-per-call", type=int, default=None,
+        help="fuse N update steps under one lax.scan per device call "
+             "(amortizes per-call dispatch latency; see train/state.py)",
+    )
 
     def run(args):
         import dataclasses
@@ -71,6 +76,8 @@ def _add_train_diffphar(sub):
             tr = dataclasses.replace(tr, n_epochs=args.epochs)
         if args.batch_size:
             tr = dataclasses.replace(tr, batch_size=args.batch_size)
+        if args.steps_per_call:
+            tr = dataclasses.replace(tr, steps_per_call=args.steps_per_call)
         cfg = dataclasses.replace(cfg, train=tr)
         if args.neighbor_k:
             cfg = dataclasses.replace(
