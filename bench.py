@@ -18,8 +18,14 @@ vs_baseline is measured against the driver-set north star of 50k
 denoise steps/sec/chip (BASELINE.json) — the reference itself publishes no
 numbers (BASELINE.md).
 
-Env knobs: BENCH_PALLAS=1 (fused Pallas engine), BENCH_DENSE=1 (dense
-[N,N] pair blocks instead of the neighbor list), BENCH_BATCH, BENCH_K.
+Env knobs: BENCH_PALLAS=1 (fused Pallas engine: the neighbor-list kernel at
+BENCH_K, or the dense-pair kernel when combined with BENCH_DENSE=1),
+BENCH_DENSE=1 (dense [N,N] pair blocks instead of the neighbor list),
+BENCH_BATCH, BENCH_K.
+
+Timing fetches the sampled coordinates to host (np.asarray) inside the
+timed loop — `block_until_ready` alone does not reliably wait over the
+axon tunnel (CLAUDE.md); the [B,Np,3] fetch itself is negligible.
 """
 from __future__ import annotations
 
@@ -48,7 +54,7 @@ def main():
     egnn = dataclasses.replace(
         cfg.dynamics.egnn,
         compute_dtype=jnp.bfloat16,
-        neighbor_k=None if (use_dense or use_pallas) else k,
+        neighbor_k=None if use_dense else k,
     )
     dyn_cfg = dataclasses.replace(cfg.dynamics, egnn=egnn)
     dynamics = EGNNDynamics(dyn_cfg)
@@ -89,13 +95,13 @@ def main():
     )
     # warmup / compile
     out = sample(params, jax.random.PRNGKey(1))
-    jax.block_until_ready(out)
+    np.asarray(out[0].x)
 
     times = []
     for i in range(3):
         t0 = time.perf_counter()
         out = sample(params, jax.random.PRNGKey(2 + i))
-        jax.block_until_ready(out)
+        np.asarray(out[0].x)  # host fetch = reliable completion barrier
         times.append(time.perf_counter() - t0)
     dt = min(times)
     steps_per_sec = b * t_steps / dt

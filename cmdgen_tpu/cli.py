@@ -346,6 +346,9 @@ def _add_run_all(sub):
                    choices=["gmm", "kmeans", "dbscan"])
     p.add_argument("--cluster-counts", type=int, nargs="+", default=[4, 5])
     p.add_argument("--smiles-per-hypothesis", type=int, default=256)
+    p.add_argument("--decode-batch", type=int, default=None,
+                   help="decode batch size (default: min(512, "
+                        "smiles-per-hypothesis); 512 is the tuned optimum)")
     p.add_argument("--n-conformers", type=int, default=5)
     p.add_argument("--neighbor-k", type=int, default=12)
     p.add_argument("--seed", type=int, default=0)
@@ -390,7 +393,8 @@ def _add_run_all(sub):
             cluster_counts=tuple(args.cluster_counts),
             consensus_method=args.consensus,
             smiles_per_hypothesis=args.smiles_per_hypothesis,
-            decode_batch=min(256, args.smiles_per_hypothesis),
+            decode_batch=(args.decode_batch if args.decode_batch
+                          else min(512, args.smiles_per_hypothesis)),
             n_conformers=args.n_conformers,
         )
         results, stats = run_pipeline(
