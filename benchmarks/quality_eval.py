@@ -187,11 +187,21 @@ def make_diffphar_dataset(out_dir, n_complexes=600, seed=0):
 
 
 def diffphar_quality(quick=False, epochs=None, n_complexes=None,
-                     neighbor_k=None, steps_per_call=1, ckpt_epochs=1):
+                     neighbor_k=None, steps_per_call=1, ckpt_epochs=1,
+                     ema_decay=0.0, stratified_t=False, hidden=None,
+                     n_layers=None, batch_size=16, lr=3e-4,
+                     workdir=None, eval_only=False, eval_pockets=None,
+                     ckpt_name="last"):
+    """Train (or reload from ``workdir``) the conditional DDPM on the
+    synthetic structured corpus and run the reference eval suite.
+
+    ``workdir`` persists the dataset + checkpoints across invocations so a
+    long run can be monitored / re-evaluated (``eval_only=True``)."""
     from cmdgen_tpu import config as cfgmod
     from cmdgen_tpu.data.dataset import DiffPharDataset
     from cmdgen_tpu.models.egnn import EGNNConfig
     from cmdgen_tpu.pipeline.evaluate import eval_diffphar
+    from cmdgen_tpu.train import state as tstate
     from cmdgen_tpu.train.diffphar_train import train_diffphar
 
     cfg = cfgmod.ca_config()
@@ -200,35 +210,53 @@ def diffphar_quality(quick=False, epochs=None, n_complexes=None,
         dynamics=dataclasses.replace(
             cfg.dynamics,
             egnn=EGNNConfig(
-                hidden_nf=64 if quick else 128,
-                n_layers=1 if quick else 3,
+                hidden_nf=hidden or (64 if quick else 128),
+                n_layers=n_layers or (1 if quick else 3),
                 inv_sublayers=1,
                 neighbor_k=neighbor_k,
             ),
         ),
-        ddpm=dataclasses.replace(cfg.ddpm, timesteps=20 if quick else 100),
+        ddpm=dataclasses.replace(
+            cfg.ddpm, timesteps=20 if quick else 100,
+            stratified_t=stratified_t,
+        ),
         train=dataclasses.replace(
-            cfg.train, batch_size=16,
+            cfg.train, batch_size=batch_size,
             n_epochs=epochs or (2 if quick else 40),
-            lr=3e-4, clip_grad=True, steps_per_call=steps_per_call,
-            ckpt_epochs=ckpt_epochs,
+            lr=lr, clip_grad=True, steps_per_call=steps_per_call,
+            ckpt_epochs=ckpt_epochs, ema_decay=ema_decay,
         ),
     )
-    with tempfile.TemporaryDirectory() as tmp:
-        data = make_diffphar_dataset(
-            pathlib.Path(tmp) / "data",
-            n_complexes or (60 if quick else 600),
-        )
-        t0 = time.time()
-        state, model = train_diffphar(cfg, data, pathlib.Path(tmp) / "ckpt")
-        params = state.params
-        train_s = time.time() - t0
+    tmp_ctx = tempfile.TemporaryDirectory() if workdir is None else None
+    root = pathlib.Path(workdir or tmp_ctx.name)
+    try:
+        data = root / "data"
+        if not (data / "train.npz").exists():
+            make_diffphar_dataset(
+                data, n_complexes or (60 if quick else 600),
+            )
+        train_s = 0.0
+        if eval_only:
+            from cmdgen_tpu.train import checkpoint as ckptmod
+            payload, meta = ckptmod.load_checkpoint(root / "ckpt", ckpt_name)
+            params = payload.get("ema_params") or payload["params"]
+            cfg = cfgmod.from_dict(cfgmod.DiffPharConfig, meta["config"])
+            from cmdgen_tpu.train.diffphar_train import build_model
+            model = build_model(cfg)
+        else:
+            t0 = time.time()
+            state, model = train_diffphar(cfg, data, root / "ckpt")
+            params = tstate.eval_params(state)
+            train_s = time.time() - t0
         test_ds = DiffPharDataset(data / "test.npz")
         res = eval_diffphar(
             model, params, jax.random.PRNGKey(9), test_ds,
-            n_pockets=4 if quick else 16,
+            n_pockets=eval_pockets or (4 if quick else 16),
             n_samples_per_pocket=4,
         )
+    finally:
+        if tmp_ctx is not None:
+            tmp_ctx.cleanup()
     out = {f"diffphar_{k}": round(float(v), 4) for k, v in res.items()}
     out["diffphar_train_seconds"] = round(train_s, 1)
     return out
@@ -246,6 +274,18 @@ if __name__ == "__main__":
     ap.add_argument("--diffphar-neighbor-k", type=int, default=None)
     ap.add_argument("--diffphar-steps-per-call", type=int, default=1)
     ap.add_argument("--diffphar-ckpt-epochs", type=int, default=1)
+    ap.add_argument("--diffphar-ema", type=float, default=0.0)
+    ap.add_argument("--diffphar-stratified-t", action="store_true")
+    ap.add_argument("--diffphar-hidden", type=int, default=None)
+    ap.add_argument("--diffphar-layers", type=int, default=None)
+    ap.add_argument("--diffphar-batch", type=int, default=16)
+    ap.add_argument("--diffphar-lr", type=float, default=3e-4)
+    ap.add_argument("--workdir", default=None,
+                    help="persist dataset+checkpoints here (enables "
+                         "--eval-only re-evaluation of a finished run)")
+    ap.add_argument("--eval-only", action="store_true")
+    ap.add_argument("--eval-pockets", type=int, default=None)
+    ap.add_argument("--ckpt-name", default="last")
     args = ap.parse_args()
     out = {}
     if not args.skip_diffphar:
@@ -255,6 +295,12 @@ if __name__ == "__main__":
             neighbor_k=args.diffphar_neighbor_k,
             steps_per_call=args.diffphar_steps_per_call,
             ckpt_epochs=args.diffphar_ckpt_epochs,
+            ema_decay=args.diffphar_ema,
+            stratified_t=args.diffphar_stratified_t,
+            hidden=args.diffphar_hidden, n_layers=args.diffphar_layers,
+            batch_size=args.diffphar_batch, lr=args.diffphar_lr,
+            workdir=args.workdir, eval_only=args.eval_only,
+            eval_pockets=args.eval_pockets, ckpt_name=args.ckpt_name,
         ))
         print("# diffphar done:", json.dumps(out))
     if not args.skip_gcpg:

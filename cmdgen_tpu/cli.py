@@ -60,6 +60,16 @@ def _add_train_diffphar(sub):
         help="fuse N update steps under one lax.scan per device call "
              "(amortizes per-call dispatch latency; see train/state.py)",
     )
+    p.add_argument(
+        "--ema-decay", type=float, default=None,
+        help="keep an EMA of params for sampling/eval (e.g. 0.999; "
+             "0/absent = off, reference behavior)",
+    )
+    p.add_argument(
+        "--stratified-t", action="store_true",
+        help="low-discrepancy timestep sampling across the batch "
+             "(per-sample marginal unchanged; lower gradient variance)",
+    )
 
     def run(args):
         import dataclasses
@@ -78,7 +88,13 @@ def _add_train_diffphar(sub):
             tr = dataclasses.replace(tr, batch_size=args.batch_size)
         if args.steps_per_call:
             tr = dataclasses.replace(tr, steps_per_call=args.steps_per_call)
+        if args.ema_decay:
+            tr = dataclasses.replace(tr, ema_decay=args.ema_decay)
         cfg = dataclasses.replace(cfg, train=tr)
+        if args.stratified_t:
+            cfg = dataclasses.replace(
+                cfg, ddpm=dataclasses.replace(cfg.ddpm, stratified_t=True)
+            )
         if args.neighbor_k:
             cfg = dataclasses.replace(
                 cfg,
@@ -112,7 +128,9 @@ def _load_diffphar_ckpt(ckpt_dir, which="best"):
     payload, meta = ckpt.load_checkpoint(ckpt_dir, which)
     cfg = cfgmod.from_dict(cfgmod.DiffPharConfig, meta["config"])
     model = build_model(cfg)
-    return model, payload["params"], cfg
+    # sample with the EMA params when the run kept them (ema_decay > 0)
+    params = payload.get("ema_params") or payload["params"]
+    return model, params, cfg
 
 
 def _add_sample_phars(sub):

@@ -46,6 +46,9 @@ class DiffPharTrainConfig:
     # checkpoint every N epochs (validation still runs every epoch); the
     # orbax save is seconds of wall per epoch on short epochs
     ckpt_epochs: int = 1
+    # EMA of params for sampling/eval (0 = off, reference behavior). The
+    # raw params keep training; samplers read the EMA copy.
+    ema_decay: float = 0.0
 
 
 @dataclasses.dataclass(frozen=True)

@@ -50,6 +50,12 @@ class DDPMConfig:
     norm_bias_h: float = 0.0
     com_free: bool = True  # False => SimpleConditionalDDPM (no subspace trick)
     n_dims: int = 3
+    # Stratified (low-discrepancy) timestep sampling: one uniform offset
+    # strides the batch across {lowest_t..T} instead of iid draws. Each
+    # sample's marginal stays exactly uniform; the per-batch gradient
+    # variance drops (VDM appendix-style trick). Off by default — the
+    # reference samples iid (conditional_model.py:213).
+    stratified_t: bool = False
 
 
 def _inflate(v: jnp.ndarray) -> jnp.ndarray:
@@ -185,8 +191,8 @@ class ConditionalDDPM:
         delta_log_px = -self.subspace_dim(n_phar) * math.log(cfg.norm_x)
 
         lowest_t = 0 if training else 1
-        t_int = jax.random.randint(k_t, (b,), lowest_t, cfg.timesteps + 1).astype(
-            jnp.float32
+        t_int = sample_t_int(
+            k_t, b, lowest_t, cfg.timesteps, stratified=cfg.stratified_t
         )
         s_int = t_int - 1.0
         t_is_zero = (t_int == 0).astype(jnp.float32)
@@ -466,6 +472,21 @@ class ConditionalDDPM:
         phar_out = PointCloud(x=x_phar, h=h_phar * phar_mask[..., None], mask=phar_mask)
         pocket_out = PointCloud(x=x_pocket, h=h_pocket, mask=pocket.mask)
         return phar_out, pocket_out
+
+
+def sample_t_int(key, b: int, lowest_t: int, timesteps: int,
+                 stratified: bool = False) -> jnp.ndarray:
+    """Draw [B] integer diffusion times from {lowest_t..timesteps}, as
+    float32. iid uniform by default; ``stratified`` strides one uniform
+    offset across the batch (per-sample marginal unchanged)."""
+    if not stratified:
+        return jax.random.randint(
+            key, (b,), lowest_t, timesteps + 1
+        ).astype(jnp.float32)
+    u0 = jax.random.uniform(key, ())
+    u = (u0 + jnp.arange(b, dtype=jnp.float32) / b) % 1.0
+    n_vals = timesteps + 1 - lowest_t
+    return jnp.floor(u * n_vals) + lowest_t
 
 
 def respaced_st_pairs(t_full: int, s_steps: int) -> jnp.ndarray:

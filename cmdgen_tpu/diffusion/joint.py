@@ -27,6 +27,7 @@ from cmdgen_tpu.diffusion.cddpm import (
     DDPMConfig,
     _gaussian_kl,
     _inflate,
+    sample_t_int,
 )
 from cmdgen_tpu.diffusion.gamma_net import GammaNetwork
 from cmdgen_tpu.diffusion.size_prior import SizePrior
@@ -183,8 +184,8 @@ class JointDDPM:
         delta_log_px = -self.subspace_dim(n_total) * math.log(cfg.norm_x)
 
         lowest_t = 0 if training else 1
-        t_int = jax.random.randint(k_t, (b,), lowest_t, cfg.timesteps + 1).astype(
-            jnp.float32
+        t_int = sample_t_int(
+            k_t, b, lowest_t, cfg.timesteps, stratified=cfg.stratified_t
         )
         t_is_zero = (t_int == 0).astype(jnp.float32)
         gamma_s = self._gamma_at_int(params, t_int - 1.0)

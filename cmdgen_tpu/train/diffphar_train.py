@@ -125,14 +125,15 @@ def train_diffphar(
     model = build_model(cfg, size_hist)
     optimizer = tstate.reference_optimizer(cfg.train.lr)
     train_step = tstate.make_diffusion_train_step(
-        model, optimizer, clip_grad=cfg.train.clip_grad
+        model, optimizer, clip_grad=cfg.train.clip_grad,
+        ema_decay=cfg.train.ema_decay,
     )
 
     rng = jax.random.PRNGKey(cfg.train.seed)
     rng, k_init = jax.random.split(rng)
     first = train_ds.padded_batch(list(range(min(cfg.train.batch_size, len(train_ds)))))
     params = init_params(model, k_init, first)
-    state = tstate.init_state(params, optimizer)
+    state = tstate.init_state(params, optimizer, ema=cfg.train.ema_decay > 0)
 
     mesh = pmesh.make_mesh(dp=cfg.train.dp, tp=cfg.train.tp)
     state = pmesh.replicate(state, mesh)
@@ -141,7 +142,8 @@ def train_diffphar(
     if spc > 1:
         multi_fn = jax.jit(
             tstate.make_diffusion_multistep(
-                model, optimizer, clip_grad=cfg.train.clip_grad
+                model, optimizer, clip_grad=cfg.train.clip_grad,
+                ema_decay=cfg.train.ema_decay,
             ),
             donate_argnums=(0,),
         )
@@ -206,7 +208,8 @@ def train_diffphar(
             # validation + checkpoint each epoch (or when stopping early)
             rng, k_eval = jax.random.split(rng)
             val_loss = evaluate(
-                model, state.params, val_ds, k_eval, cfg.train.batch_size
+                model, tstate.eval_params(state), val_ds, k_eval,
+                cfg.train.batch_size
             )
             log_fn(step, {"loss/val": val_loss, "epoch": epoch,
                           "elapsed_s": time.time() - t0})
@@ -218,7 +221,7 @@ def train_diffphar(
                 # eval-epoch sampling + type-KL (lightning_modules.py:289-382)
                 rng, k_samp = jax.random.split(rng)
                 sm = sampling_metrics(
-                    model, state.params, val_ds, k_samp,
+                    model, tstate.eval_params(state), val_ds, k_samp,
                     n_samples=min(cfg.train.n_eval_samples, 16),
                     dataset_name=cfg.data.dataset,
                 )
@@ -227,9 +230,12 @@ def train_diffphar(
                 max_steps and step >= max_steps
             )
             if (epoch + 1) % max(1, cfg.train.ckpt_epochs) == 0 or last:
+                payload = {"params": state.params,
+                           "opt_state": state.opt_state}
+                if state.ema_params is not None:
+                    payload["ema_params"] = state.ema_params
                 ckpt.save_checkpoint(
-                    out_dir,
-                    {"params": state.params, "opt_state": state.opt_state},
+                    out_dir, payload,
                     step=step, config=cfgmod.to_dict(cfg),
                     monitor_value=val_loss,
                 )

@@ -60,8 +60,20 @@ def adaptive_clip(grads, grad_norms: jnp.ndarray):
     return grads, new_queue, norm
 
 
+def ema_update(ema_params, params, step, decay: float):
+    """Polyak averaging with the standard warmup ramp: the effective decay
+    is min(decay, (1+step)/(10+step)) so early EMA tracks the raw params
+    instead of the random init (samplers read the EMA copy — diffusion
+    sample quality is measurably smoother under it)."""
+    d = jnp.minimum(decay, (1.0 + step) / (10.0 + step))
+    return jax.tree_util.tree_map(
+        lambda e, p: e * d + p * (1.0 - d), ema_params, params
+    )
+
+
 def make_diffusion_train_step(model, optimizer: optax.GradientTransformation,
-                              clip_grad: bool = True):
+                              clip_grad: bool = True,
+                              ema_decay: float = 0.0):
     """Build the jittable train step for the conditional DDPM.
 
     step(state, rng, phar, pocket) -> (state, metrics)
@@ -81,12 +93,15 @@ def make_diffusion_train_step(model, optimizer: optax.GradientTransformation,
             queue, raw_norm = state.grad_norms, global_norm(grads)
         updates, opt_state = optimizer.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
+        ema = state.ema_params
+        if ema is not None and ema_decay > 0.0:
+            ema = ema_update(ema, params, state.step, ema_decay)
         new_state = TrainState(
             params=params,
             opt_state=opt_state,
             step=state.step + 1,
             grad_norms=queue,
-            ema_params=state.ema_params,
+            ema_params=ema,
         )
         metrics = dict(info, loss=loss, grad_norm=raw_norm)
         return new_state, metrics
@@ -94,8 +109,14 @@ def make_diffusion_train_step(model, optimizer: optax.GradientTransformation,
     return step
 
 
+def eval_params(state: TrainState):
+    """Parameters to sample/evaluate with: the EMA copy when kept."""
+    return state.ema_params if state.ema_params is not None else state.params
+
+
 def make_diffusion_multistep(model, optimizer: optax.GradientTransformation,
-                             clip_grad: bool = True):
+                             clip_grad: bool = True,
+                             ema_decay: float = 0.0):
     """Multi-step train driver: runs M update steps under ONE lax.scan so a
     training loop pays per-call dispatch latency once per M steps instead
     of per step. On this image the axon-tunnelled TPU costs ~30-150 ms per
@@ -108,7 +129,7 @@ def make_diffusion_multistep(model, optimizer: optax.GradientTransformation,
     Identical update math to M calls of make_diffusion_train_step with the
     same per-step rng splits (tested).
     """
-    step = make_diffusion_train_step(model, optimizer, clip_grad)
+    step = make_diffusion_train_step(model, optimizer, clip_grad, ema_decay)
 
     def multistep(state: TrainState, rng, phar_stack, pocket_stack):
         def body(carry, xs):

@@ -160,3 +160,64 @@ def test_graft_entry_and_dryrun():
     eps_phar, eps_pocket = out
     assert eps_phar.shape[-1] == 3 + 8
     ge.dryrun_multichip(8)
+
+
+def test_ema_update_tracks_params():
+    """EMA params move toward the raw params with the warmup-ramped decay
+    and are used by eval_params when kept."""
+    model, params, phar, pocket = _setup(b=4)
+    optimizer = tstate.reference_optimizer(1e-3)
+    step = jax.jit(tstate.make_diffusion_train_step(
+        model, optimizer, clip_grad=False, ema_decay=0.5,
+    ))
+    state = tstate.init_state(params, optimizer, ema=True)
+    assert state.ema_params is not None
+    rng = jax.random.PRNGKey(0)
+    s1, _ = step(state, rng, phar, pocket)
+    # at step 0 the warmup ramp gives d = min(0.5, 1/10) = 0.1:
+    # ema = 0.1 * init + 0.9 * params_1
+    leaf = lambda t: jax.tree_util.tree_leaves(t)[0]
+    expect = 0.1 * leaf(params) + 0.9 * leaf(s1.params)
+    np.testing.assert_allclose(np.asarray(leaf(s1.ema_params)),
+                               np.asarray(expect), rtol=1e-5)
+    assert tstate.eval_params(s1) is s1.ema_params
+    # without ema the eval params are the raw params
+    s0 = tstate.init_state(params, optimizer)
+    assert tstate.eval_params(s0) is s0.params
+
+
+def test_multistep_updates_ema():
+    model, params, phar, pocket = _setup(b=4)
+    optimizer = tstate.reference_optimizer(1e-3)
+    multi = jax.jit(tstate.make_diffusion_multistep(
+        model, optimizer, clip_grad=False, ema_decay=0.9,
+    ))
+    state = tstate.init_state(params, optimizer, ema=True)
+    stack = lambda pc: jax.tree_util.tree_map(
+        lambda a: jnp.stack([a, a]), pc
+    )
+    s, _ = multi(state, jax.random.PRNGKey(1), stack(phar), stack(pocket))
+    leaf = lambda t: np.asarray(jax.tree_util.tree_leaves(t)[0])
+    assert not np.allclose(leaf(s.ema_params), leaf(params))
+    assert not np.allclose(leaf(s.ema_params), leaf(s.params))
+
+
+def test_stratified_t_marginal_uniform():
+    """Stratified timestep sampling covers {lowest..T} evenly within one
+    batch and is uniform per-sample across keys."""
+    from cmdgen_tpu.diffusion.cddpm import sample_t_int
+
+    T, b = 10, 44
+    t = np.asarray(sample_t_int(jax.random.PRNGKey(0), b, 0, T, True))
+    assert t.min() >= 0 and t.max() <= T
+    # one batch covers every value: 44 draws over 11 values, stratified
+    assert len(np.unique(t)) == T + 1
+    # per-sample marginal: sample index 3 over many keys is uniform
+    vals = np.array([
+        float(np.asarray(
+            sample_t_int(jax.random.PRNGKey(k), b, 1, T, True)
+        )[3]) for k in range(300)
+    ])
+    assert vals.min() >= 1 and vals.max() <= T
+    counts = np.bincount(vals.astype(int), minlength=T + 1)[1:]
+    assert counts.min() > 10  # all 10 values hit, roughly uniformly
