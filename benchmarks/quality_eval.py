@@ -191,7 +191,7 @@ def diffphar_quality(quick=False, epochs=None, n_complexes=None,
                      ema_decay=0.0, stratified_t=False, hidden=None,
                      n_layers=None, batch_size=16, lr=3e-4,
                      workdir=None, eval_only=False, eval_pockets=None,
-                     ckpt_name="last"):
+                     ckpt_name="last", val_epochs=1):
     """Train (or reload from ``workdir``) the conditional DDPM on the
     synthetic structured corpus and run the reference eval suite.
 
@@ -225,6 +225,7 @@ def diffphar_quality(quick=False, epochs=None, n_complexes=None,
             n_epochs=epochs or (2 if quick else 40),
             lr=lr, clip_grad=True, steps_per_call=steps_per_call,
             ckpt_epochs=ckpt_epochs, ema_decay=ema_decay,
+            val_epochs=val_epochs,
         ),
     )
     tmp_ctx = tempfile.TemporaryDirectory() if workdir is None else None
@@ -286,6 +287,7 @@ if __name__ == "__main__":
     ap.add_argument("--eval-only", action="store_true")
     ap.add_argument("--eval-pockets", type=int, default=None)
     ap.add_argument("--ckpt-name", default="last")
+    ap.add_argument("--diffphar-val-epochs", type=int, default=1)
     args = ap.parse_args()
     out = {}
     if not args.skip_diffphar:
@@ -301,6 +303,7 @@ if __name__ == "__main__":
             batch_size=args.diffphar_batch, lr=args.diffphar_lr,
             workdir=args.workdir, eval_only=args.eval_only,
             eval_pockets=args.eval_pockets, ckpt_name=args.ckpt_name,
+            val_epochs=args.diffphar_val_epochs,
         ))
         print("# diffphar done:", json.dumps(out))
     if not args.skip_gcpg:

@@ -35,6 +35,10 @@ class DiffPharTrainConfig:
     n_epochs: int = 100
     clip_grad: bool = False
     eval_epochs: int = 25
+    # run validation every N epochs (always on checkpoint epochs and the
+    # final epoch); >1 keeps many-thousand-epoch runs from being dominated
+    # by per-epoch validation dispatch
+    val_epochs: int = 1
     n_eval_samples: int = 100
     seed: int = 0
     dp: Optional[int] = None  # data-parallel size; None = all devices

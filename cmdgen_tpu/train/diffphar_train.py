@@ -67,8 +67,17 @@ def init_params(model, rng, batch):
 
 
 def evaluate(model, params, dataset: DiffPharDataset, rng,
-             batch_size: int, max_batches: int = 10) -> float:
-    """Mean validation NLL (vlb assembly, training=False)."""
+             batch_size: int, max_batches: int = 10,
+             loss_fn=None) -> float:
+    """Mean validation NLL (vlb assembly, training=False).
+
+    ``loss_fn`` (params, rng, phar, pocket) -> [B] lets the caller pass a
+    jitted loss built once per run — eager flax dispatch over the axon
+    tunnel costs ~100 ms/call and dominates short validation passes."""
+    if loss_fn is None:
+        loss_fn = lambda p, r, ph, pk: model.loss(
+            p, r, ph, pk, training=False
+        )[0]
     losses = []
     np_rng = np.random.RandomState(0)
     for i, batch in enumerate(
@@ -78,7 +87,7 @@ def evaluate(model, params, dataset: DiffPharDataset, rng,
             break
         phar, pocket = _to_clouds(batch)
         rng, sub = jax.random.split(rng)
-        nll, _ = model.loss(params, sub, phar, pocket, training=False)
+        nll = loss_fn(params, sub, phar, pocket)
         losses.append(float(jnp.mean(nll)))
     return float(np.mean(losses)) if losses else float("nan")
 
@@ -102,7 +111,17 @@ def sampling_metrics(model, params, dataset: DiffPharDataset, rng,
     ref_hist = np.asarray(
         list(DATASET_PARAMS[dataset_name]["phar_hist"].values()), dtype=float
     )[: h.shape[-1]]
-    return {"kl_types": categorical_kl(hist, ref_hist)}
+    # max pairwise spread of each generated cloud (test.py:94-227's spread
+    # metric) — the live indicator of reverse-chain coordinate health
+    x = np.asarray(out_phar.x)
+    spreads = []
+    for s in range(x.shape[0]):
+        pts = x[s][mask[s]]
+        if len(pts) > 1:
+            d = np.sqrt(((pts[:, None] - pts[None]) ** 2).sum(-1))
+            spreads.append(float(d.max()))
+    return {"kl_types": categorical_kl(hist, ref_hist),
+            "spread_gen": float(np.mean(spreads)) if spreads else np.nan}
 
 
 def train_diffphar(
@@ -151,6 +170,10 @@ def train_diffphar(
     np_rng = np.random.RandomState(cfg.train.seed)
     step = 0
     t0 = time.time()
+    eval_loss_fn = jax.jit(
+        lambda p, r, ph, pk: model.loss(p, r, ph, pk, training=False)[0]
+    )
+    val_loss = float("nan")
     from cmdgen_tpu.data.prefetch import prefetch
 
     def _grouped(batches):
@@ -205,14 +228,20 @@ def train_diffphar(
                     log_fn(step, {k: float(v) for k, v in metrics.items()})
                 if max_steps and step >= max_steps:
                     break
-            # validation + checkpoint each epoch (or when stopping early)
-            rng, k_eval = jax.random.split(rng)
-            val_loss = evaluate(
-                model, tstate.eval_params(state), val_ds, k_eval,
-                cfg.train.batch_size
+            # validation + checkpoint (or when stopping early)
+            last = (epoch + 1 == cfg.train.n_epochs) or (
+                max_steps and step >= max_steps
             )
-            log_fn(step, {"loss/val": val_loss, "epoch": epoch,
-                          "elapsed_s": time.time() - t0})
+            ckpt_now = (epoch + 1) % max(1, cfg.train.ckpt_epochs) == 0 or last
+            val_now = (epoch + 1) % max(1, cfg.train.val_epochs) == 0
+            if val_now or ckpt_now:
+                rng, k_eval = jax.random.split(rng)
+                val_loss = evaluate(
+                    model, tstate.eval_params(state), val_ds, k_eval,
+                    cfg.train.batch_size, loss_fn=eval_loss_fn,
+                )
+                log_fn(step, {"loss/val": val_loss, "epoch": epoch,
+                              "elapsed_s": time.time() - t0})
             if (
                 cfg.train.eval_epochs
                 and (epoch + 1) % cfg.train.eval_epochs == 0
@@ -226,10 +255,7 @@ def train_diffphar(
                     dataset_name=cfg.data.dataset,
                 )
                 log_fn(step, {f"sampling/{k}": v for k, v in sm.items()})
-            last = (epoch + 1 == cfg.train.n_epochs) or (
-                max_steps and step >= max_steps
-            )
-            if (epoch + 1) % max(1, cfg.train.ckpt_epochs) == 0 or last:
+            if ckpt_now:
                 payload = {"params": state.params,
                            "opt_state": state.opt_state}
                 if state.ema_params is not None:
