@@ -225,7 +225,7 @@ def diffphar_quality(quick=False, epochs=None, n_complexes=None,
             n_epochs=epochs or (2 if quick else 40),
             lr=lr, clip_grad=True, steps_per_call=steps_per_call,
             ckpt_epochs=ckpt_epochs, ema_decay=ema_decay,
-            val_epochs=val_epochs,
+            val_epochs=val_epochs, eval_epochs=max(25, val_epochs),
         ),
     )
     tmp_ctx = tempfile.TemporaryDirectory() if workdir is None else None
@@ -245,8 +245,13 @@ def diffphar_quality(quick=False, epochs=None, n_complexes=None,
             from cmdgen_tpu.train.diffphar_train import build_model
             model = build_model(cfg)
         else:
+            from cmdgen_tpu.utils.logging import MetricsLogger
+
+            logger = MetricsLogger(root / "ckpt", "quality_diffphar")
             t0 = time.time()
-            state, model = train_diffphar(cfg, data, root / "ckpt")
+            state, model = train_diffphar(
+                cfg, data, root / "ckpt", log_fn=logger.log
+            )
             params = tstate.eval_params(state)
             train_s = time.time() - t0
         test_ds = DiffPharDataset(data / "test.npz")
