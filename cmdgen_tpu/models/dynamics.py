@@ -17,7 +17,7 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from cmdgen_tpu.models.egnn import EGNN, EGNNConfig
+from cmdgen_tpu.models.egnn import EGNN, EGNNConfig, GNN
 from cmdgen_tpu.ops.masked import pair_mask, remove_mean
 
 
@@ -30,6 +30,11 @@ class DynamicsConfig:
     condition_time: bool = True
     update_pocket_coords: bool = False  # False => conditional model
     edge_cutoff: Optional[float] = 6.0  # Å; None => complete graph
+    # 'egnn_dynamics' | 'gnn_dynamics' (the reference's plain-GNN fallback,
+    # dynamics.py:63-64,112-115: coordinates become node features and
+    # velocities are read from the first 3 output channels — not
+    # E(3)-equivariant, unused by shipped configs)
+    mode: str = "egnn_dynamics"
     egnn: EGNNConfig = dataclasses.field(default_factory=EGNNConfig)
 
 
@@ -87,20 +92,32 @@ class EGNNDynamics(nn.Module):
             )
             edge_mask = edge_mask * (d2 <= cfg.edge_cutoff**2).astype(edge_mask.dtype)
 
-        update_coords_mask = None
-        update_rows = None
-        if not cfg.update_pocket_coords:
-            update_coords_mask = jnp.concatenate(
-                [mask_phar, jnp.zeros_like(mask_pocket)], axis=-1
-            )
-            # pharmacophore nodes come first in the concat: the coordinate
-            # pass only ever moves those rows (statically known)
-            update_rows = xh_phar.shape[-2]
+        if cfg.mode == "gnn_dynamics":
+            # plain-GNN fallback: [x ‖ h] in, [vel ‖ h] out; the reference
+            # applies no update_coords_mask here (dynamics.py:112-115) — the
+            # conditional DDPM never reads pocket eps anyway
+            out = GNN(
+                cfg.egnn,
+                out_node_nf=cfg.n_dims + h.shape[-1],
+                name="gnn",
+            )(jnp.concatenate([x.astype(h.dtype), h], axis=-1), edge_mask, mask)
+            vel = out[..., :nd] * mask[..., None]
+            h_final = out[..., nd:]
+        else:
+            update_coords_mask = None
+            update_rows = None
+            if not cfg.update_pocket_coords:
+                update_coords_mask = jnp.concatenate(
+                    [mask_phar, jnp.zeros_like(mask_pocket)], axis=-1
+                )
+                # pharmacophore nodes come first in the concat: the coordinate
+                # pass only ever moves those rows (statically known)
+                update_rows = xh_phar.shape[-2]
 
-        h_final, x_final = EGNN(cfg.egnn, out_node_nf=cfg.joint_nf + 1, name="egnn")(
-            h, x, edge_mask, mask, update_coords_mask, update_rows
-        )
-        vel = (x_final - x) * mask[..., None]
+            h_final, x_final = EGNN(
+                cfg.egnn, out_node_nf=cfg.joint_nf + 1, name="egnn"
+            )(h, x, edge_mask, mask, update_coords_mask, update_rows)
+            vel = (x_final - x) * mask[..., None]
 
         if cfg.condition_time:
             h_final = h_final[..., :-1]
@@ -149,6 +166,9 @@ def make_pallas_apply(cfg: DynamicsConfig, tile: int = 16,
     from cmdgen_tpu.ops.egnn_pallas import egnn_forward_pallas
 
     assert cfg.egnn.inv_sublayers == 1, "pallas path supports inv_sublayers=1"
+    assert cfg.mode == "egnn_dynamics" and not cfg.egnn.sin_embedding, (
+        "pallas path supports the flagship egnn mode without sin_embedding"
+    )
 
     def apply_fn(variables, xh_phar, xh_pocket, t, mask_phar, mask_pocket):
         p = variables["params"]

@@ -27,6 +27,7 @@ dynamics.py:141-147, same tanh-clamped coordinate updates).
 from __future__ import annotations
 
 import dataclasses
+import math
 from typing import Optional
 
 import flax.linen as nn
@@ -48,6 +49,28 @@ class EGNNConfig:
     compute_dtype: jnp.dtype = jnp.float32
     # fixed-K neighbor-list message passing (None => dense [N,N] pair blocks)
     neighbor_k: Optional[int] = None
+    # sinusoidal distance features instead of raw squared distances
+    # (egnn_new.py:249-260; config knob crossdocked_full_cond.yml:38,
+    # False in every shipped reference config)
+    sin_embedding: bool = False
+
+
+# SinusoidsEmbeddingNew constants (egnn_new.py:251: max_res=15,
+# min_res=15/2000, div_factor=4 -> 6 geometric frequencies, 12-dim output)
+_SIN_N_FREQ = int(math.log(2000.0, 4.0)) + 1
+
+
+def sinusoids_embedding(d2: jnp.ndarray) -> jnp.ndarray:
+    """Sin/cos features of sqrt(d2) at 6 geometric frequencies
+    (egnn_new.py:255-260). d2: [..., 1] squared distances ->
+    [..., 12]; constant features (stop_gradient, as the reference
+    detaches)."""
+    freqs = 2.0 * math.pi * (4.0 ** jnp.arange(_SIN_N_FREQ)) / 15.0
+    d = jnp.sqrt(d2 + 1e-8)
+    emb = d * freqs  # [..., 1] * [F] -> [..., F]
+    return jax.lax.stop_gradient(
+        jnp.concatenate([jnp.sin(emb), jnp.cos(emb)], axis=-1)
+    )
 
 
 def gather_nodes(v: jnp.ndarray, onehot: jnp.ndarray) -> jnp.ndarray:
@@ -107,14 +130,18 @@ class PairFirstLayer(nn.Module):
         ``rows`` nodes — e (and nbr) must already be row-sliced to match."""
         wi = nn.Dense(self.features, use_bias=False, dtype=self.dtype, name="w_i")(h)
         wj = nn.Dense(self.features, use_bias=True, dtype=self.dtype, name="w_j")(h)
-        we = nn.Dense(self.features, use_bias=False, dtype=self.dtype, name="w_e")(e)
         if rows is not None:
             wi = wi[..., :rows, :]
         if nbr is None:
             wj_pair = wj[..., None, :, :]
         else:
             wj_pair = gather_nodes(wj, nbr)
-        return wi[..., :, None, :] + wj_pair + we
+        out = wi[..., :, None, :] + wj_pair
+        if e is not None:  # edges_in_d=0 (plain GNN) has no edge features
+            out = out + nn.Dense(
+                self.features, use_bias=False, dtype=self.dtype, name="w_e"
+            )(e)
+        return out
 
 
 def _aggregate(msg, edge_mask, cfg: EGNNConfig):
@@ -246,8 +273,12 @@ class EquivariantBlock(nn.Module):
             diff = x[..., :, None, :] - x_j
             radial = jnp.sum(diff**2, axis=-1, keepdims=True)
             coord_diff = diff / (jnp.sqrt(radial + 1e-8) + cfg.norm_constant)
+        if cfg.sin_embedding:
+            radial_feat = sinusoids_embedding(radial)
+        else:
+            radial_feat = radial
         edge_attr = jnp.concatenate(
-            [radial.astype(cfg.compute_dtype), dist0], axis=-1
+            [radial_feat.astype(cfg.compute_dtype), dist0], axis=-1
         )
         for i in range(cfg.inv_sublayers):
             h = GCL(cfg, name=f"gcl_{i}")(h, edge_attr, edge_mask, nbr)
@@ -284,7 +315,11 @@ class EGNN(nn.Module):
                  update_rows=None):
         cfg = self.cfg
         dt = cfg.compute_dtype
-        coords_range_layer = cfg.coords_range / cfg.n_layers
+        # the reference hands the FULL coords_range to every block
+        # (egnn_new.py:187 -> 123,136): the per-block tanh multiplier is 15,
+        # not 15/n_layers as in upstream EDM (whose coords_range_layer the
+        # reference computes at egnn_new.py:169 but never uses)
+        coords_range_layer = cfg.coords_range
         if cfg.neighbor_k is not None:
             # fixed-K neighbor list from the entry coordinates (the same
             # coordinates the cutoff adjacency is built from); the dense
@@ -301,6 +336,8 @@ class EGNN(nn.Module):
         else:
             nbr = None
             dist0, _ = coord2diff(x)
+        if cfg.sin_embedding:
+            dist0 = sinusoids_embedding(dist0)
         dist0 = dist0.astype(dt)
         h = nn.Dense(cfg.hidden_nf, dtype=dt, name="embedding")(h.astype(dt))
         block_cls = (
@@ -315,3 +352,28 @@ class EGNN(nn.Module):
         h = nn.Dense(self.out_node_nf, dtype=dt, name="embedding_out")(h)
         h = h * node_mask[..., None]
         return h.astype(jnp.float32), x.astype(jnp.float32)
+
+
+class GNN(nn.Module):
+    """Plain (non-equivariant) message-passing fallback (egnn_new.py:211-243):
+    embed -> n_layers GCLs with no edge features (edges_in_d=0) -> out Dense.
+    The caller feeds coordinates as part of the node features and reads
+    velocities out of the first 3 output channels (dynamics.py:112-115).
+
+    h: [B, N, D_in], edge_mask: [B, N, N], node_mask: [B, N]
+    -> [B, N, out_node_nf]
+    """
+
+    cfg: EGNNConfig
+    out_node_nf: int
+
+    @nn.compact
+    def __call__(self, h, edge_mask, node_mask):
+        cfg = self.cfg
+        dt = cfg.compute_dtype
+        h = nn.Dense(cfg.hidden_nf, dtype=dt, name="embedding")(h.astype(dt))
+        for i in range(cfg.n_layers):
+            h = GCL(cfg, name=f"gcl_{i}")(h, None, edge_mask)
+            h = h * node_mask[..., None]
+        h = nn.Dense(self.out_node_nf, dtype=dt, name="embedding_out")(h)
+        return (h * node_mask[..., None]).astype(jnp.float32)

@@ -649,7 +649,9 @@ def egnn_forward_pallas(
     param subtree of the EGNN module. ``neighbor_k`` selects the fused
     fixed-K neighbor-list engine (semantics of models.egnn neighbor mode:
     exact vs dense whenever K bounds the in-cutoff neighbor count)."""
-    coords_range_layer = coords_range / n_layers
+    # full range per block, matching models/egnn.py (reference quirk:
+    # egnn_new.py:187 passes coords_range, not coords_range/n_layers)
+    coords_range_layer = coords_range
     x_entry = x
 
     if neighbor_k is not None:

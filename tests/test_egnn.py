@@ -5,6 +5,8 @@ The defining properties (which the reference never tests, SURVEY.md §4):
   - coordinate outputs are equivariant: f(Rx+t) = R f(x)+t
   - padded nodes influence nothing
 """
+import dataclasses
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -220,3 +222,137 @@ def test_neighbor_list_equivariance(setup):
     np.testing.assert_allclose(
         np.asarray(x2 * mask[..., None]), np.asarray(want), atol=2e-4
     )
+
+
+def test_sin_embedding_values():
+    """sinusoids_embedding matches the reference formula
+    (egnn_new.py:249-260): 6 geometric frequencies 2*pi*4^k/15 over
+    sqrt(d2+1e-8), 12 output channels."""
+    from cmdgen_tpu.models.egnn import sinusoids_embedding
+
+    d2 = jnp.asarray([[0.0], [4.0], [36.0]])
+    out = np.asarray(sinusoids_embedding(d2))
+    assert out.shape == (3, 12)
+    freqs = 2 * np.pi * (4.0 ** np.arange(6)) / 15.0
+    d = np.sqrt(np.asarray(d2) + 1e-8)
+    want = np.concatenate([np.sin(d * freqs), np.cos(d * freqs)], axis=-1)
+    np.testing.assert_allclose(out, want, atol=1e-4)
+
+
+def test_sin_embedding_equivariance():
+    """The sin_embedding option preserves E(3) equivariance (features are
+    rotation-invariant distances)."""
+    rng = np.random.RandomState(3)
+    b, n, d = 2, 10, 6
+    h = jnp.asarray(rng.randn(b, n, d), dtype=jnp.float32)
+    x = jnp.asarray(rng.randn(b, n, 3), dtype=jnp.float32)
+    mask = jnp.ones((b, n), dtype=jnp.float32)
+    edge_mask = pair_mask(mask, mask)
+    cfg = EGNNConfig(hidden_nf=32, n_layers=2, inv_sublayers=1,
+                     sin_embedding=True)
+    model = EGNN(cfg, out_node_nf=d)
+    params = model.init(jax.random.PRNGKey(0), h, x, edge_mask, mask)
+    R = _rand_rotation(rng)
+    t = jnp.asarray(rng.randn(3), dtype=jnp.float32)
+    h1, x1 = model.apply(params, h, x, edge_mask, mask)
+    h2, x2 = model.apply(params, h, x @ R.T + t, edge_mask, mask)
+    np.testing.assert_allclose(np.asarray(h1), np.asarray(h2), atol=3e-4)
+    np.testing.assert_allclose(
+        np.asarray(x2), np.asarray(x1 @ R.T + t), atol=3e-4
+    )
+    # the embedded-edge path must differ from the raw-distance path
+    base = EGNN(EGNNConfig(hidden_nf=32, n_layers=2, inv_sublayers=1),
+                out_node_nf=d)
+    bparams = base.init(jax.random.PRNGKey(0), h, x, edge_mask, mask)
+    hb, _ = base.apply(bparams, h, x, edge_mask, mask)
+    assert not np.allclose(np.asarray(h1), np.asarray(hb))
+
+
+def test_sin_embedding_neighbor_list_matches_dense():
+    """neighbor_k large enough to cover every edge reproduces the dense
+    sin_embedding path exactly."""
+    rng = np.random.RandomState(5)
+    b, n, d = 2, 8, 6
+    h = jnp.asarray(rng.randn(b, n, d), dtype=jnp.float32)
+    x = jnp.asarray(rng.randn(b, n, 3), dtype=jnp.float32)
+    mask = jnp.ones((b, n), dtype=jnp.float32)
+    edge_mask = pair_mask(mask, mask)
+    cfg_d = EGNNConfig(hidden_nf=32, n_layers=2, inv_sublayers=1,
+                       sin_embedding=True)
+    cfg_k = dataclasses.replace(cfg_d, neighbor_k=n)
+    model_d = EGNN(cfg_d, out_node_nf=d)
+    model_k = EGNN(cfg_k, out_node_nf=d)
+    params = model_d.init(jax.random.PRNGKey(0), h, x, edge_mask, mask)
+    h1, x1 = model_d.apply(params, h, x, edge_mask, mask)
+    h2, x2 = model_k.apply(params, h, x, edge_mask, mask)
+    np.testing.assert_allclose(np.asarray(h1), np.asarray(h2), atol=2e-4)
+    np.testing.assert_allclose(np.asarray(x1), np.asarray(x2), atol=2e-4)
+
+
+def test_gnn_dynamics_mode():
+    """mode='gnn_dynamics' (dynamics.py:63-64,112-115): runs, right shapes,
+    learns coordinates through node features (and is intentionally NOT
+    equivariant)."""
+    rng = np.random.RandomState(7)
+    b, n_p, n_q = 2, 4, 7
+    cfg = DynamicsConfig(
+        phar_nf=8, residue_nf=5, joint_nf=16, edge_cutoff=None,
+        mode="gnn_dynamics",
+        egnn=EGNNConfig(hidden_nf=32, n_layers=2, inv_sublayers=1),
+    )
+    dyn = EGNNDynamics(cfg)
+    xh_phar = jnp.asarray(rng.randn(b, n_p, 3 + 8), dtype=jnp.float32)
+    xh_pocket = jnp.asarray(rng.randn(b, n_q, 3 + 5), dtype=jnp.float32)
+    t = jnp.zeros((b, 1))
+    m_p = jnp.ones((b, n_p))
+    m_q = jnp.ones((b, n_q))
+    params = dyn.init(jax.random.PRNGKey(0), xh_phar, xh_pocket, t, m_p, m_q)
+    eps_p, eps_q = dyn.apply(params, xh_phar, xh_pocket, t, m_p, m_q)
+    assert eps_p.shape == (b, n_p, 3 + 8)
+    assert eps_q.shape == (b, n_q, 3 + 5)
+    assert np.isfinite(np.asarray(eps_p)).all()
+    # translation must CHANGE the output (coords are plain features here)
+    shift = jnp.asarray([1.0, -2.0, 0.5])
+    xh_phar2 = xh_phar.at[..., :3].add(shift)
+    xh_pocket2 = xh_pocket.at[..., :3].add(shift)
+    eps_p2, _ = dyn.apply(params, xh_phar2, xh_pocket2, t, m_p, m_q)
+    assert not np.allclose(np.asarray(eps_p), np.asarray(eps_p2), atol=1e-4)
+
+
+def test_gnn_dynamics_trains_in_ddpm():
+    """The gnn fallback slots into the conditional DDPM loss/grad path."""
+    from cmdgen_tpu.containers import PointCloud, mask_from_sizes
+    from cmdgen_tpu.diffusion.cddpm import ConditionalDDPM, DDPMConfig
+
+    rng = np.random.RandomState(11)
+    b, n_p, n_q = 2, 3, 6
+    cfg = DynamicsConfig(
+        phar_nf=8, residue_nf=4, joint_nf=8, edge_cutoff=None,
+        mode="gnn_dynamics",
+        egnn=EGNNConfig(hidden_nf=16, n_layers=1, inv_sublayers=1),
+    )
+    dyn = EGNNDynamics(cfg)
+    model = ConditionalDDPM(DDPMConfig(timesteps=5), dyn)
+    phar = PointCloud(
+        x=jnp.asarray(rng.randn(b, n_p, 3), dtype=jnp.float32),
+        h=jax.nn.one_hot(jnp.asarray(rng.randint(0, 8, (b, n_p))), 8),
+        mask=mask_from_sizes(jnp.full((b,), n_p), n_p),
+    )
+    pocket = PointCloud(
+        x=jnp.asarray(rng.randn(b, n_q, 3), dtype=jnp.float32),
+        h=jax.nn.one_hot(jnp.asarray(rng.randint(0, 4, (b, n_q))), 4),
+        mask=mask_from_sizes(jnp.full((b,), n_q), n_q),
+    )
+    params = dyn.init(
+        jax.random.PRNGKey(0), phar.xh, pocket.xh, jnp.zeros((b, 1)),
+        phar.mask, pocket.mask,
+    )
+    loss_fn = lambda p: jnp.mean(
+        model.loss(p, jax.random.PRNGKey(1), phar, pocket, training=True)[0]
+    )
+    loss, grads = jax.value_and_grad(loss_fn)(params)
+    assert np.isfinite(float(loss))
+    gnorm = float(jnp.sqrt(sum(
+        jnp.sum(g ** 2) for g in jax.tree_util.tree_leaves(grads)
+    )))
+    assert gnorm > 0
