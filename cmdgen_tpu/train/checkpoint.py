@@ -61,10 +61,28 @@ def save_checkpoint(
 
 
 def load_checkpoint(ckpt_dir, name: str = "last", target: Any = None):
-    """Returns (payload, meta dict)."""
+    """Returns (payload, meta dict).
+
+    Without a ``target``, arrays restore as host numpy (platform-neutral):
+    orbax otherwise replays the *saved* sharding metadata, which makes a
+    TPU-written checkpoint fail to restore in a CPU process and vice versa.
+    jax re-places the arrays on the current default device at first use.
+    """
+    import jax
+
+    import orbax.checkpoint as ocp
+
     ckpt_dir = Path(ckpt_dir)
     cp = _checkpointer()
-    payload = cp.restore((ckpt_dir / name).absolute(), item=target)
+    path = (ckpt_dir / name).absolute()
+    if target is None:
+        struct = cp.metadata(path).item_metadata.tree
+        restore_args = jax.tree_util.tree_map(
+            lambda _: ocp.RestoreArgs(restore_type=np.ndarray), struct
+        )
+        payload = cp.restore(path, restore_args=restore_args)
+    else:
+        payload = cp.restore(path, item=target)
     meta_path = ckpt_dir / f"{name}.json"
     meta = json.loads(meta_path.read_text()) if meta_path.exists() else {}
     return payload, meta

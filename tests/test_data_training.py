@@ -206,3 +206,26 @@ def test_prefetch_iterator():
 
     with _pytest.raises(ValueError):
         list(prefetch(boom()))
+
+
+def test_checkpoint_restores_as_host_numpy(tmp_path):
+    """Cross-platform restore: arrays saved from device-placed jax arrays
+    come back as host numpy (no saved-sharding replay — the failure mode
+    that made TPU-written checkpoints unrestorable on CPU)."""
+    import jax
+    import jax.numpy as jnp
+
+    from cmdgen_tpu.train.checkpoint import load_checkpoint, save_checkpoint
+
+    dev = jax.devices()[3]  # non-default device: sharding metadata differs
+    payload = {
+        "params": {"w": jax.device_put(jnp.arange(6.0).reshape(2, 3), dev)},
+        "step_arr": np.arange(4),
+    }
+    save_checkpoint(tmp_path, payload, step=7, monitor_value=1.0)
+    out, meta = load_checkpoint(tmp_path, "last")
+    w = out["params"]["w"]
+    assert isinstance(w, np.ndarray)
+    np.testing.assert_allclose(w, np.arange(6.0).reshape(2, 3))
+    np.testing.assert_array_equal(out["step_arr"], np.arange(4))
+    assert meta["step"] == 7
