@@ -53,6 +53,10 @@ class DiffPharTrainConfig:
     # EMA of params for sampling/eval (0 = off, reference behavior). The
     # raw params keep training; samplers read the EMA copy.
     ema_decay: float = 0.0
+    # device-resident dataset: keep the whole padded corpus in HBM and
+    # gather batches on device inside the multistep scan ('auto' = on when
+    # the corpus is < 1 GiB, steps_per_call > 1 and dp*tp == 1)
+    resident_data: str = "auto"  # 'auto' | 'on' | 'off'
 
 
 @dataclasses.dataclass(frozen=True)

@@ -83,6 +83,16 @@ class DiffPharDataset:
             out["pocket_mask"][k, :nq_i] = 1.0
         return out
 
+    def stacked_arrays(self) -> dict:
+        """The whole dataset as one globally-padded [N, ...] array dict —
+        the device-resident training mode keeps these in HBM and gathers
+        batches on device (per-call host→device traffic becomes a [M, B]
+        index array instead of megabytes of one-hot batches)."""
+        return self.padded_batch(list(range(len(self))))
+
+    def nbytes(self) -> int:
+        return sum(v.nbytes for v in self.stacked_arrays().values())
+
     def iter_batches(
         self, batch_size: int, rng: np.random.RandomState, shuffle=True,
         drop_last=True, bucket: Optional[int] = None,

@@ -158,7 +158,23 @@ def train_diffphar(
     state = pmesh.replicate(state, mesh)
     step_fn = jax.jit(train_step, donate_argnums=(0,))
     spc = max(1, cfg.train.steps_per_call)
-    if spc > 1:
+    n_mesh_devices = int(np.prod(list(mesh.shape.values())))
+    resident = cfg.train.resident_data == "on" or (
+        cfg.train.resident_data == "auto"
+        and spc > 1
+        and n_mesh_devices == 1
+        and train_ds.nbytes() < 2**30
+    )
+    if resident:
+        data_arrays = jax.device_put(train_ds.stacked_arrays())
+        resident_fn = jax.jit(
+            tstate.make_diffusion_multistep_resident(
+                model, optimizer, clip_grad=cfg.train.clip_grad,
+                ema_decay=cfg.train.ema_decay,
+            ),
+            donate_argnums=(0,),
+        )
+    elif spc > 1:
         multi_fn = jax.jit(
             tstate.make_diffusion_multistep(
                 model, optimizer, clip_grad=cfg.train.clip_grad,
@@ -190,7 +206,33 @@ def train_diffphar(
 
     with mesh:
         for epoch in range(cfg.train.n_epochs):
-            it = prefetch(train_ds.iter_batches(cfg.train.batch_size, np_rng))
+            if resident:
+                bs = cfg.train.batch_size
+                order = np_rng.permutation(len(train_ds)).astype(np.int32)
+                nb = len(order) // bs
+                order = order[: nb * bs].reshape(nb, bs)
+                for g in range(0, nb, spc):
+                    rows = order[g : g + spc]
+                    if len(rows) < spc:
+                        # wrap-around fill keeps the call shape static
+                        rows = np.concatenate(
+                            [rows, order[: spc - len(rows)]], axis=0
+                        )
+                    rng, sub = jax.random.split(rng)
+                    state, mstack = resident_fn(
+                        state, sub, data_arrays, jnp.asarray(rows)
+                    )
+                    metrics = jax.tree_util.tree_map(lambda a: a[-1], mstack)
+                    step += len(rows)
+                    if step % 50 < spc:
+                        log_fn(step, {k: float(v) for k, v in metrics.items()})
+                    if max_steps and step >= max_steps:
+                        break
+                it = iter(())  # epoch consumed by the resident path
+            else:
+                it = prefetch(
+                    train_ds.iter_batches(cfg.train.batch_size, np_rng)
+                )
             for kind, group in _grouped(it) if spc > 1 else (
                 ("single", [b]) for b in it
             ):

@@ -147,6 +147,47 @@ def make_diffusion_multistep(model, optimizer: optax.GradientTransformation,
     return multistep
 
 
+def make_diffusion_multistep_resident(
+    model, optimizer: optax.GradientTransformation,
+    clip_grad: bool = True, ema_decay: float = 0.0,
+):
+    """Device-resident variant of make_diffusion_multistep: the globally
+    padded dataset lives in HBM (DiffPharDataset.stacked_arrays, put once)
+    and each scan step gathers its batch on device from an [M, B] index
+    array. Per-call host→device transfer drops from ~MB of one-hot batches
+    to a few KB of indices — the multistep host path measured ~220 ms/step
+    on the tunnelled TPU with transfer dominating (PERF.md round 3).
+
+    multistep(state, rng, data, idx) -> (state, metrics)
+      data: dict of stacked arrays (phar_x/h/mask, pocket_x/h/mask)
+      idx:  [M, B] int32 rows, one batch per scan step
+    """
+    from cmdgen_tpu.containers import PointCloud
+
+    step = make_diffusion_train_step(model, optimizer, clip_grad, ema_decay)
+
+    def multistep(state: TrainState, rng, data, idx):
+        def body(carry, idx_m):
+            st, key = carry
+            take = lambda a: jnp.take(a, idx_m, axis=0)
+            phar = PointCloud(
+                x=take(data["phar_x"]), h=take(data["phar_h"]),
+                mask=take(data["phar_mask"]),
+            )
+            pocket = PointCloud(
+                x=take(data["pocket_x"]), h=take(data["pocket_h"]),
+                mask=take(data["pocket_mask"]),
+            )
+            key, sub = jax.random.split(key)
+            st, metrics = step(st, sub, phar, pocket)
+            return (st, key), metrics
+
+        (state, _), metrics = jax.lax.scan(body, (state, rng), idx)
+        return state, metrics
+
+    return multistep
+
+
 def reference_optimizer(lr: float = 1e-4) -> optax.GradientTransformation:
     """AdamW(amsgrad, wd=1e-12) equivalent (lightning_modules.py:141-143)."""
     return optax.chain(

@@ -221,3 +221,37 @@ def test_stratified_t_marginal_uniform():
     assert vals.min() >= 1 and vals.max() <= T
     counts = np.bincount(vals.astype(int), minlength=T + 1)[1:]
     assert counts.min() > 10  # all 10 values hit, roughly uniformly
+
+
+def test_resident_multistep_matches_host_multistep():
+    """Gathering batches on device from resident arrays == feeding the same
+    batches from host, with identical rng flow."""
+    model, params, phar, pocket = _setup(b=8)
+    optimizer = tstate.reference_optimizer(1e-3)
+    host = jax.jit(tstate.make_diffusion_multistep(model, optimizer, True))
+    res = jax.jit(
+        tstate.make_diffusion_multistep_resident(model, optimizer, True)
+    )
+    data = {
+        "phar_x": phar.x, "phar_h": phar.h, "phar_mask": phar.mask,
+        "pocket_x": pocket.x, "pocket_h": pocket.h, "pocket_mask": pocket.mask,
+    }
+    idx = jnp.asarray([[3, 1, 0, 2], [7, 4, 6, 5], [0, 5, 2, 7]], jnp.int32)
+    take = lambda pc, row: jax.tree_util.tree_map(lambda a: a[row], pc)
+    phar_stack = jax.tree_util.tree_map(
+        lambda *a: jnp.stack(a), *[take(phar, r) for r in idx]
+    )
+    pocket_stack = jax.tree_util.tree_map(
+        lambda *a: jnp.stack(a), *[take(pocket, r) for r in idx]
+    )
+    rng = jax.random.PRNGKey(5)
+    s1 = tstate.init_state(params, optimizer)
+    s2 = tstate.init_state(params, optimizer)
+    s1, m1 = host(s1, rng, phar_stack, pocket_stack)
+    s2, m2 = res(s2, rng, data, idx)
+    for a, b in zip(jax.tree_util.tree_leaves(s1.params),
+                    jax.tree_util.tree_leaves(s2.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    np.testing.assert_allclose(
+        np.asarray(m1["loss"]), np.asarray(m2["loss"]), rtol=1e-6
+    )
