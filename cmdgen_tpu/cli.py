@@ -149,6 +149,11 @@ def _add_sample_phars(sub):
              "the training engine (same parameters, same function when K "
              "bounds the in-cutoff neighbor count; K=12 is ~4x faster)",
     )
+    p.add_argument(
+        "--chain-gif", default=None, metavar="PATH",
+        help="also render one sampling chain as an animated GIF "
+             "(analysis/visualization.py:343-369 equivalent)",
+    )
 
     def run(args):
         import dataclasses
@@ -178,6 +183,21 @@ def _add_sample_phars(sub):
             n_samples=args.n_samples, timesteps=args.timesteps,
         )
         print(f"wrote {args.out_json}")
+        if args.chain_gif:
+            from cmdgen_tpu.pipeline.sample_phars import pocket_point_cloud
+            from cmdgen_tpu.utils.visualization import render_chain_for_pocket
+
+            coords, onehot = pocket_point_cloud(
+                args.pdbfile, cfg.data.dataset,
+                cfg.data.pocket_representation,
+                args.ref_ligand, args.resi_list,
+            )
+            render_chain_for_pocket(
+                model, params, jax.random.PRNGKey(args.seed + 1),
+                coords, onehot, args.chain_gif,
+                timesteps=args.timesteps,
+            )
+            print(f"wrote {args.chain_gif}")
 
     p.set_defaults(run=run)
 

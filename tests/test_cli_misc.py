@@ -142,3 +142,68 @@ def test_isomorphic_rmsd():
     # different molecules -> None
     other = mol_from_smiles("CCO")
     assert isomorphic_rmsd(mol, conf, other, conf[:3]) is None
+
+
+def test_render_chain_gif(tmp_path):
+    """Chain renderer: GIF + optional PNG series from [F, N, 3] frames
+    (visualization.py:343-369 equivalent)."""
+    import numpy as np
+
+    from cmdgen_tpu.utils.visualization import render_chain
+
+    rng = np.random.RandomState(0)
+    f, n = 12, 6
+    target = rng.randn(n, 3) * 3
+    frames = np.stack([
+        target + rng.randn(n, 3) * (1.0 - t / (f - 1)) * 5 for t in range(f)
+    ])
+    mask = np.array([1, 1, 1, 1, 0, 0], dtype=np.float32)
+    types = np.array([0, 1, 4, 5, 0, 0])
+    pocket = rng.randn(20, 3) * 6
+    out = tmp_path / "chain.gif"
+    images = render_chain(
+        out, frames, mask, types=types, pocket_coords=pocket,
+        type_names=["A", "B", "C", "D", "E", "F", "G", "H"],
+        max_frames=8, hold_last=2, save_pngs=True,
+    )
+    assert out.exists() and out.stat().st_size > 1000
+    assert (tmp_path / "chain_0000.png").exists()
+    # GIF header + frame count sanity
+    assert out.read_bytes()[:6] in (b"GIF87a", b"GIF89a")
+    assert len(images) >= 8
+
+
+def test_render_chain_for_pocket(tmp_path):
+    """End-to-end: tiny model, one sampled chain, GIF on disk."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from cmdgen_tpu.diffusion.cddpm import ConditionalDDPM, DDPMConfig
+    from cmdgen_tpu.models.dynamics import DynamicsConfig, EGNNDynamics
+    from cmdgen_tpu.models.egnn import EGNNConfig
+    from cmdgen_tpu.utils.visualization import render_chain_for_pocket
+
+    cfg = DynamicsConfig(
+        phar_nf=8, residue_nf=20, joint_nf=8, edge_cutoff=None,
+        egnn=EGNNConfig(hidden_nf=16, n_layers=1, inv_sublayers=1),
+    )
+    dyn = EGNNDynamics(cfg)
+    model = ConditionalDDPM(DDPMConfig(timesteps=6), dyn)
+    rng = np.random.RandomState(1)
+    nq = 12
+    coords = rng.randn(nq, 3).astype(np.float32) * 4
+    onehot = np.eye(20, dtype=np.float32)[rng.randint(0, 20, nq)]
+    params = dyn.init(
+        jax.random.PRNGKey(0),
+        jnp.zeros((1, 4, 11)), jnp.asarray(
+            np.concatenate([coords, onehot], -1)
+        )[None],
+        jnp.zeros((1, 1)), jnp.ones((1, 4)), jnp.ones((1, nq)),
+    )
+    out = tmp_path / "pocket_chain.gif"
+    render_chain_for_pocket(
+        model, params, jax.random.PRNGKey(2), coords, onehot, out,
+        n_phar=4, n_phar_max=4, keep_frames=6, max_frames=6, hold_last=1,
+    )
+    assert out.exists() and out.stat().st_size > 1000
