@@ -191,7 +191,8 @@ def diffphar_quality(quick=False, epochs=None, n_complexes=None,
                      ema_decay=0.0, stratified_t=False, hidden=None,
                      n_layers=None, batch_size=16, lr=3e-4,
                      workdir=None, eval_only=False, eval_pockets=None,
-                     ckpt_name="last", val_epochs=1):
+                     ckpt_name="last", val_epochs=1,
+                     eval_clamp_x=None, eval_timesteps=None):
     """Train (or reload from ``workdir``) the conditional DDPM on the
     synthetic structured corpus and run the reference eval suite.
 
@@ -242,6 +243,12 @@ def diffphar_quality(quick=False, epochs=None, n_complexes=None,
             payload, meta = ckptmod.load_checkpoint(root / "ckpt", ckpt_name)
             params = payload.get("ema_params") or payload["params"]
             cfg = cfgmod.from_dict(cfgmod.DiffPharConfig, meta["config"])
+            if eval_clamp_x:
+                cfg = dataclasses.replace(
+                    cfg, ddpm=dataclasses.replace(
+                        cfg.ddpm, clamp_x=eval_clamp_x
+                    ),
+                )
             from cmdgen_tpu.train.diffphar_train import build_model
             model = build_model(cfg)
         else:
@@ -258,7 +265,7 @@ def diffphar_quality(quick=False, epochs=None, n_complexes=None,
         res = eval_diffphar(
             model, params, jax.random.PRNGKey(9), test_ds,
             n_pockets=eval_pockets or (4 if quick else 16),
-            n_samples_per_pocket=4,
+            n_samples_per_pocket=4, timesteps=eval_timesteps,
         )
     finally:
         if tmp_ctx is not None:
@@ -293,6 +300,11 @@ if __name__ == "__main__":
     ap.add_argument("--eval-pockets", type=int, default=None)
     ap.add_argument("--ckpt-name", default="last")
     ap.add_argument("--diffphar-val-epochs", type=int, default=1)
+    ap.add_argument("--eval-clamp-x", type=float, default=None,
+                    help="static coordinate thresholding during eval "
+                         "sampling (Å; opt-in stabilization knob)")
+    ap.add_argument("--eval-timesteps", type=int, default=None,
+                    help="respaced reverse-chain steps for eval sampling")
     args = ap.parse_args()
     out = {}
     if not args.skip_diffphar:
@@ -309,6 +321,8 @@ if __name__ == "__main__":
             workdir=args.workdir, eval_only=args.eval_only,
             eval_pockets=args.eval_pockets, ckpt_name=args.ckpt_name,
             val_epochs=args.diffphar_val_epochs,
+            eval_clamp_x=args.eval_clamp_x,
+            eval_timesteps=args.eval_timesteps,
         ))
         print("# diffphar done:", json.dumps(out))
     if not args.skip_gcpg:

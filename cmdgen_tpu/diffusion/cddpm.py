@@ -56,6 +56,14 @@ class DDPMConfig:
     # variance drops (VDM appendix-style trick). Off by default — the
     # reference samples iid (conditional_model.py:213).
     stratified_t: bool = False
+    # Static coordinate thresholding during SAMPLING only (Imagen-style):
+    # clamp the coordinate channels of z to ±clamp_x (normalized units,
+    # = Å at norm_x=1) after every reverse step. Bounds the compounding
+    # of eps-prediction error through the 1/alpha amplification at high t
+    # (PERF.md round-2 diagnosis) for under-trained models. None = off
+    # (the reference has no equivalent; its models are trained to ~1000
+    # epochs where the cancellation holds on its own).
+    clamp_x: Optional[float] = None
 
 
 def _inflate(v: jnp.ndarray) -> jnp.ndarray:
@@ -370,6 +378,11 @@ class ConditionalDDPM:
         nd = self.cfg.n_dims
         eps = jax.random.normal(rng, mu_phar.shape) * phar_mask[..., None]
         out = mu_phar + _inflate(jnp.broadcast_to(sigma, (mu_phar.shape[0],))) * eps
+        if self.cfg.clamp_x is not None:
+            out = jnp.concatenate(
+                [jnp.clip(out[..., :nd], -self.cfg.clamp_x, self.cfg.clamp_x),
+                 out[..., nd:]], axis=-1,
+            )
         out_x, pocket_x = self._center(
             out[..., :nd], xh_pocket[..., :nd], phar_mask, pocket_mask
         )

@@ -31,6 +31,7 @@ def eval_diffphar(
     dataset: DiffPharDataset,
     n_pockets: int = 20,
     n_samples_per_pocket: int = 4,
+    timesteps: int = None,
 ) -> Dict[str, float]:
     """Distribution-match eval (test.py). Returns summary metrics."""
     com_dists: List[float] = []
@@ -53,7 +54,7 @@ def eval_diffphar(
         out, _ = model.sample_given_pocket(
             params, sub, pocket,
             jnp.full((n_samples_per_pocket,), n_ref),
-            dataset.n_phar_max,
+            dataset.n_phar_max, timesteps=timesteps,
         )
         x = np.asarray(out.x)
         h = np.asarray(out.h)

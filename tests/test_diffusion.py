@@ -271,3 +271,48 @@ def test_sample_chain_frames(model_and_params):
     assert frames.shape[0] >= 5
     assert np.isfinite(np.asarray(frames)).all()
     np.testing.assert_array_equal(np.asarray(out_phar.size), [3, 4, 5])
+
+
+def test_clamp_x_bounds_sampled_coords():
+    """Static coordinate thresholding (DDPMConfig.clamp_x): sampling stays
+    bounded with the knob on, and the default (None) path is unchanged."""
+    import dataclasses
+
+    from cmdgen_tpu.containers import PointCloud, mask_from_sizes
+    from cmdgen_tpu.diffusion.cddpm import ConditionalDDPM, DDPMConfig
+    from cmdgen_tpu.models.dynamics import DynamicsConfig, EGNNDynamics
+    from cmdgen_tpu.models.egnn import EGNNConfig
+
+    rng = np.random.RandomState(0)
+    b, n_p, n_q = 2, 4, 8
+    dyn = EGNNDynamics(DynamicsConfig(
+        phar_nf=8, residue_nf=4, joint_nf=8, edge_cutoff=None,
+        egnn=EGNNConfig(hidden_nf=16, n_layers=1, inv_sublayers=1),
+    ))
+    pocket = PointCloud(
+        x=jnp.asarray(rng.randn(b, n_q, 3) * 50, dtype=jnp.float32),
+        h=jax.nn.one_hot(jnp.asarray(rng.randint(0, 4, (b, n_q))), 4),
+        mask=mask_from_sizes(jnp.full((b,), n_q), n_q),
+    )
+    params = dyn.init(
+        jax.random.PRNGKey(0), jnp.zeros((b, n_p, 11)), pocket.xh,
+        jnp.zeros((b, 1)), jnp.ones((b, n_p)), pocket.mask,
+    )
+    cfg = DDPMConfig(timesteps=10)
+    base = ConditionalDDPM(cfg, dyn)
+    clamped = ConditionalDDPM(
+        dataclasses.replace(cfg, clamp_x=5.0), dyn
+    )
+    nn_ = jnp.full((b,), n_p)
+    out_c, _ = clamped.sample_given_pocket(
+        params, jax.random.PRNGKey(2), pocket, nn_, n_p
+    )
+    # clamp is applied before CoM re-centering, so the bound on the
+    # centered output is 2*clamp (each coord within clamp, CoM within
+    # clamp); untrained nets on wide pockets would otherwise blow up
+    x = np.asarray(out_c.x)[np.asarray(out_c.mask) > 0.5]
+    assert np.abs(x).max() <= 2 * 5.0 + 1e-3
+    out_b, _ = base.sample_given_pocket(
+        params, jax.random.PRNGKey(2), pocket, nn_, n_p
+    )
+    assert not np.allclose(np.asarray(out_b.x), np.asarray(out_c.x))
