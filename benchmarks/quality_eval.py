@@ -74,7 +74,8 @@ def make_corpus(n=8000, seed=0, max_atoms=38):
     return sorted(out)
 
 
-def gcpg_quality(quick=False, n_corpus=None, epochs=None):
+def gcpg_quality(quick=False, n_corpus=None, epochs=None, workdir=None,
+                 eval_only=False):
     from cmdgen_tpu.config import GCPGModelConfig, GCPGTrainConfig
     from cmdgen_tpu.pipeline.evaluate import eval_gcpg
     from cmdgen_tpu.train.gcpg_train import train_gcpg
@@ -98,15 +99,26 @@ def gcpg_quality(quick=False, n_corpus=None, epochs=None):
     tcfg = GCPGTrainConfig(
         batch_size=128, n_epochs=n_epochs, lr=5e-4, cosine_t_max=n_epochs,
     )
-    with tempfile.TemporaryDirectory() as tmp:
-        t0 = time.time()
-        params, model, tok = train_gcpg(mcfg, tcfg, train, {}, tmp)
-        train_s = time.time() - t0
-    res = eval_gcpg(
-        model, params, tok, jax.random.PRNGKey(3), test,
-        n_molecules=32 if quick else 128,
-        train_set=set(train), match_workers=4,
-    )
+    tmp_ctx = tempfile.TemporaryDirectory() if workdir is None else None
+    out_dir = pathlib.Path(workdir or tmp_ctx.name) / "gcpg_ckpt"
+    train_s = 0.0
+    try:
+        if eval_only:
+            from cmdgen_tpu.cli import _load_gcpg_ckpt
+
+            model, params, tok = _load_gcpg_ckpt(out_dir, "last")
+        else:
+            t0 = time.time()
+            params, model, tok = train_gcpg(mcfg, tcfg, train, {}, out_dir)
+            train_s = time.time() - t0
+        res = eval_gcpg(
+            model, params, tok, jax.random.PRNGKey(3), test,
+            n_molecules=32 if quick else 128,
+            train_set=set(train), match_workers=4,
+        )
+    finally:
+        if tmp_ctx is not None:
+            tmp_ctx.cleanup()
     res = {f"gcpg_{k}": round(float(v), 4) for k, v in res.items()}
     res["gcpg_train_seconds"] = round(train_s, 1)
     res["gcpg_n_train"] = len(train)
@@ -328,5 +340,6 @@ if __name__ == "__main__":
     if not args.skip_gcpg:
         out.update(gcpg_quality(
             args.quick, n_corpus=args.gcpg_corpus, epochs=args.gcpg_epochs,
+            workdir=args.workdir, eval_only=args.eval_only,
         ))
     print(json.dumps(out))
