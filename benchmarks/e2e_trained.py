@@ -1,0 +1,166 @@
+"""MEASURED_E2E: trained-weights end-to-end pipeline, quality x throughput.
+
+VERDICT r2 next-round item 2: one run that goes real pocket geometry ->
+sampled pharmacophore clouds -> GMM consensus -> generated SMILES ->
+aligned conformers with NO fixture substitution, using the round-3
+quality-trained DiffPhar (EMA params) and GCPG checkpoints, reporting
+aligned-molecules/min AND validity / match score / RMSD from the SAME run.
+
+Prereqs (both produced by benchmarks/quality_eval.py with --workdir):
+  --diff-workdir  DIR with data/test.npz + ckpt/{last,best}
+  --gcpg-workdir  DIR with gcpg_ckpt/{last,best}
+
+Run: python benchmarks/e2e_trained.py --diff-workdir /tmp/qrun3 \
+       --gcpg-workdir /tmp/grun3 [--pockets 3] [--clamp-x 20]
+Prints ONE JSON line (the MEASURED_E2E record for PERF.md).
+"""
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import pathlib
+import random as _random
+import sys
+import time
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1]))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def load_diffphar(workdir, neighbor_k, clamp_x, ckpt_name="last"):
+    from cmdgen_tpu import config as cfgmod
+    from cmdgen_tpu.train import checkpoint as ckptmod
+    from cmdgen_tpu.train.diffphar_train import build_model
+
+    payload, meta = ckptmod.load_checkpoint(
+        pathlib.Path(workdir) / "ckpt", ckpt_name
+    )
+    params = payload.get("ema_params") or payload["params"]
+    cfg = cfgmod.from_dict(cfgmod.DiffPharConfig, meta["config"])
+    ddpm = cfg.ddpm
+    if clamp_x:
+        ddpm = dataclasses.replace(ddpm, clamp_x=clamp_x)
+    cfg = dataclasses.replace(
+        cfg,
+        ddpm=ddpm,
+        dynamics=dataclasses.replace(
+            cfg.dynamics,
+            egnn=dataclasses.replace(
+                cfg.dynamics.egnn,
+                neighbor_k=neighbor_k,
+                compute_dtype=jnp.bfloat16,
+            ),
+        ),
+    )
+    return build_model(cfg), params, cfg
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--diff-workdir", required=True)
+    ap.add_argument("--gcpg-workdir", required=True)
+    ap.add_argument("--pockets", type=int, default=3)
+    ap.add_argument("--neighbor-k", type=int, default=16)
+    ap.add_argument("--clamp-x", type=float, default=None)
+    ap.add_argument("--timesteps", type=int, default=None)
+    ap.add_argument("--clouds", type=int, default=64)
+    ap.add_argument("--smiles-per-hypothesis", type=int, default=512)
+    ap.add_argument("--cluster-counts", type=int, nargs="+", default=[4, 5])
+    ap.add_argument("--match-sample", type=int, default=128,
+                    help="SMILES scored per hypothesis for the match score")
+    args = ap.parse_args()
+
+    from cmdgen_tpu.chem.match import get_match_scores
+    from cmdgen_tpu.chem.posp import points_to_graph
+    from cmdgen_tpu.cli import _load_gcpg_ckpt
+    from cmdgen_tpu.data.dataset import DiffPharDataset
+    from cmdgen_tpu.pipeline import run_all
+
+    diff_model, diff_params, dcfg = load_diffphar(
+        args.diff_workdir, args.neighbor_k, args.clamp_x
+    )
+    gmodel, gparams, tok = _load_gcpg_ckpt(
+        pathlib.Path(args.gcpg_workdir) / "gcpg_ckpt", "last"
+    )
+    test_ds = DiffPharDataset(
+        pathlib.Path(args.diff_workdir) / "data" / "test.npz"
+    )
+    mk_pocket = lambda i: (
+        test_ds.pocket_coords[i].astype(np.float32),
+        test_ds.pocket_one_hot[i].astype(np.float32),
+    )
+
+    pcfg = run_all.PipelineConfig(
+        n_clouds_per_pocket=args.clouds,
+        diff_timesteps=args.timesteps,
+        n_phar_max=8,
+        cluster_counts=tuple(args.cluster_counts),
+        smiles_per_hypothesis=args.smiles_per_hypothesis,
+        decode_batch=min(512, args.smiles_per_hypothesis),
+    )
+
+    # warmup compiles every jit shape once (excluded from measurement)
+    t0 = time.perf_counter()
+    _, warm = run_all.run_pipeline(
+        diff_model, diff_params, gmodel, gparams, tok,
+        [mk_pocket(len(test_ds) - 1)], jax.random.PRNGKey(1), pcfg,
+    )
+    print(f"# warmup {time.perf_counter() - t0:.1f}s: {warm}",
+          file=sys.stderr)
+
+    pockets = [mk_pocket(i) for i in range(args.pockets)]
+    collect: dict = {}
+    results, stats = run_all.run_pipeline(
+        diff_model, diff_params, gmodel, gparams, tok,
+        pockets, jax.random.PRNGKey(7), pcfg, collect=collect,
+    )
+
+    # ---- quality from the same run
+    out = dict(stats)
+    out["validity"] = round(stats["valid_smiles"] / max(stats["raw_smiles"], 1), 4)
+    out["uniq_rate"] = round(
+        stats["unique_smiles"] / max(stats["valid_smiles"], 1), 4
+    )
+    out["feature_match_rate"] = round(
+        stats["matched"] / max(stats["unique_smiles"], 1), 4
+    )
+    if results:
+        out["rmsd_mean"] = round(
+            float(np.mean([r.rmsd for r in results])), 3
+        )
+        out["rmsd_p90"] = round(
+            float(np.percentile([r.rmsd for r in results], 90)), 3
+        )
+    # pharmacophore match score on a sample per hypothesis (match_eval.py
+    # semantics: fraction of pairwise bond-path distances within 1.21)
+    py_rng = _random.Random(0)
+    graphs, smiles = [], []
+    for hid, (types, ppc) in collect.get("hypotheses", {}).items():
+        uniq = collect.get("uniq", {}).get(hid, [])
+        if not uniq:
+            continue
+        g = points_to_graph(list(types), ppc, py_rng)
+        for s in uniq[: args.match_sample]:
+            graphs.append(tuple(np.asarray(a) for a in g))
+            smiles.append(s)
+    if smiles:
+        scores = get_match_scores(graphs, smiles, n_workers=4, timeout=20)
+        ok = [s for s in scores if s >= 0]
+        out["match_score_mean"] = (
+            round(float(np.mean(ok)), 4) if ok else -1.0
+        )
+        out["match_scored_n"] = len(ok)
+    out["vs_target_1k_per_min"] = round(
+        stats["aligned_mols_per_min"] / 1000.0, 3
+    )
+    out["clamp_x"] = args.clamp_x
+    out["timesteps"] = args.timesteps or dcfg.ddpm.timesteps
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

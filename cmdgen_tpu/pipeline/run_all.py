@@ -112,11 +112,15 @@ def run_pipeline(
     pockets: Sequence[Tuple[np.ndarray, np.ndarray]],  # (coords, onehot)
     rng: jax.Array,
     cfg: PipelineConfig = PipelineConfig(),
+    collect: Optional[Dict] = None,
 ) -> Tuple[List[PipelineResult], Dict[str, float]]:
     """Run the full pocket->aligned-molecules pipeline, overlapped.
 
     Returns (results, stats). ``stats`` includes the end-to-end
     ``aligned_mols_per_min`` over the wall time of the whole call.
+    ``collect``: an optional dict the driver fills with the consensus
+    hypotheses ({hid: (types, coords)}) and per-hypothesis unique SMILES —
+    quality evaluation (match scoring) reuses them after the run.
     """
     q_hyp: queue.Queue = queue.Queue(maxsize=cfg.queue_depth)
     q_raw: queue.Queue = queue.Queue(maxsize=cfg.queue_depth)
@@ -125,7 +129,7 @@ def run_pipeline(
     errors: List[BaseException] = []
     stats = {
         "pockets": len(pockets), "hypotheses": 0, "raw_smiles": 0,
-        "unique_smiles": 0, "matched": 0, "aligned": 0,
+        "valid_smiles": 0, "unique_smiles": 0, "matched": 0, "aligned": 0,
         # per-stage busy seconds (threads overlap, so these can sum past
         # wall_s; the largest one is the pipeline's bottleneck)
         "sample_busy_s": 0.0, "consensus_busy_s": 0.0, "decode_busy_s": 0.0,
@@ -163,6 +167,10 @@ def run_pipeline(
                     pp_h, pp_e, pp_m = points_to_graph(types, ppc, py_rng)
                     hid = stats["hypotheses"]
                     stats["hypotheses"] += 1
+                    if collect is not None:
+                        collect.setdefault("hypotheses", {})[hid] = (
+                            list(types), ppc.copy()
+                        )
                     q_hyp.put((hid, types, ppc, pp_h, pp_e, pp_m))
         except BaseException as e:  # propagate to the main thread
             errors.append(e)
@@ -214,8 +222,13 @@ def run_pipeline(
                 hid, types, ppc, raw = item
                 t0 = time.perf_counter()
                 canon = [canonical_smiles(s) for s in raw]
+                stats["valid_smiles"] += sum(1 for c in canon if c)
                 uniq = list(dict.fromkeys(c for c in canon if c))
                 stats["unique_smiles"] += len(uniq)
+                if collect is not None:
+                    collect.setdefault("uniq", {}).setdefault(
+                        hid, []
+                    ).extend(uniq)
                 entries = prepare_align_entries(uniq, types)
                 stats["matched"] += len(entries)
                 if not entries:
