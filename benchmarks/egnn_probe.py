@@ -68,12 +68,15 @@ def main():
             )
             dyn_cfg = dataclasses.replace(base.dynamics, egnn=egnn)
         elif mode.startswith("pnb"):
-            k = int(mode[3:])
+            # pnbK or pnbKxS (S = samples per Pallas program)
+            spec = mode[3:]
+            k, _, sb = spec.partition("x")
+            k, sb = int(k), int(sb or 1)
             egnn = dataclasses.replace(
                 base.dynamics.egnn, compute_dtype=jnp.bfloat16, neighbor_k=k
             )
             dyn_cfg = dataclasses.replace(base.dynamics, egnn=egnn)
-            apply_fn = make_pallas_apply(dyn_cfg)
+            apply_fn = make_pallas_apply(dyn_cfg, samples_per_program=sb)
         else:
             k = int(mode[2:])
             egnn = dataclasses.replace(

@@ -159,7 +159,8 @@ def _type_mlp(h, p):
 
 def make_pallas_apply(cfg: DynamicsConfig, tile: int = 16,
                       interpret: bool = False, compute_dtype=None,
-                      sparse: bool = False, engine: str = "auto"):
+                      sparse: bool = False, engine: str = "auto",
+                      samples_per_program: int = 1):
     """A drop-in replacement for EGNNDynamics.apply backed by the Pallas
     EGNN kernels. Same signature/params tree; inference path (no custom
     VJP — use the flax path for training).
@@ -221,6 +222,7 @@ def make_pallas_apply(cfg: DynamicsConfig, tile: int = 16,
                 update_rows=(None if cfg.update_pocket_coords
                              else xh_phar.shape[-2]),
                 interpret=interpret, compute_dtype=cdt,
+                samples_per_program=samples_per_program,
             )
         else:
             h_final, x_final = egnn_forward_pallas(

@@ -48,19 +48,29 @@ def _make_fused_kernel(n: int, k: int, hdim: int, n_layers: int,
                        r_pad: int, r_true: int,
                        norm_constant: float, coords_range: float,
                        norm_factor: float, tanh: bool,
-                       compute_dtype=jnp.bfloat16):
-    """Kernel body builder. Shapes/constants are closure-static."""
+                       compute_dtype=jnp.bfloat16,
+                       samples_per_program: int = 1):
+    """Kernel body builder. Shapes/constants are closure-static.
+
+    ``samples_per_program`` (SB) runs SB batch elements sequentially inside
+    one program (grid = B/SB): per-program launch + weight-streaming
+    overhead (~10 us measured round 2) is amortized SB-fold while VMEM
+    working-set stays per-sample (the unrolled loop's buffers are reused
+    across iterations by liveness analysis)."""
     kn = k * n
     kr = k * r_pad
     cdt = compute_dtype
 
     def kernel(
-        h_ref,      # [1, N, H]   embedded node features (cdt)
-        x_ref,      # [1, N, 3]   coordinates f32
-        idx_ref,    # [1, N, K]   neighbor indices int32
-        km_ref,     # [1, N, K]   neighbor validity f32
-        d0_ref,     # [1, N, K]   entry squared distances f32
-        nm_ref,     # [1, N, 1]   node mask f32
+        h_ref,      # [SB, N, H]  embedded node features (cdt)
+        x_ref,      # [SB, N, 3]  coordinates f32
+        col_ref,    # [SB, KN, 1] stacked neighbor indices int32
+        kms_ref,    # [SB, KN, 1] stacked neighbor validity f32
+        d0s_ref,    # [SB, KN, 1] stacked entry squared distances f32
+        colr_ref,   # [SB, KR, 1] stacked indices, movable rows, int32
+        kmr_ref,    # [SB, KR, 1]
+        d0r_ref,    # [SB, KR, 1]
+        nm_ref,     # [SB, N, 1]  node mask f32
         wi_ref,     # [L, H, H]   edge w_i (cdt)
         wj_ref,     # [L, H, H]   edge w_j
         wjb_ref,    # [L, 1, H]   edge w_j bias (f32)
@@ -81,43 +91,34 @@ def _make_fused_kernel(n: int, k: int, hdim: int, n_layers: int,
         cm_ref,     # [L, H, H]   coord_mid
         cmb_ref,    # [L, 1, H]
         cg_ref,     # [L, H, 1]   coord_gate (no bias)
-        hout_ref,   # [1, N, H]   f32
-        xout_ref,   # [1, N, 3]   f32
+        hout_ref,   # [SB, N, H]  f32
+        xout_ref,   # [SB, N, 3]  f32
     ):
-        nmask = nm_ref[0]                       # [N, 1] f32
-        h = h_ref[0].astype(cdt)                # [N, H]
-        x = x_ref[0]                            # [N, 3] f32
+      for s in range(samples_per_program):
+        nmask = nm_ref[s]                       # [N, 1] f32
+        h = h_ref[s].astype(cdt)                # [N, H]
+        x = x_ref[s]                            # [N, 3] f32
 
-        # --- stacked-K gather machinery, built once, reused per layer
-        idxm = idx_ref[0]                       # [N, K] int32
-        kmm = km_ref[0]                         # [N, K]
-        d0m = d0_ref[0]                         # [N, K]
+        # --- stacked-K gather machinery, built once, reused per layer.
+        # The stacked [KN, 1] column vectors (col[kk*n+i] = idx[i, kk]) are
+        # precomputed OUTSIDE the kernel: building them in-kernel from
+        # per-column slices hands tpu.concatenate inputs with k distinct
+        # lane offsets, which Mosaic rejects ("offset mismatch on
+        # non-concat dimension").
         lane = jax.lax.broadcasted_iota(jnp.int32, (kn, n), 1)
-        col = jnp.concatenate(
-            [idxm[:, kk:kk + 1] for kk in range(k)], axis=0
-        )                                        # [KN, 1]
+        col = col_ref[s]                         # [KN, 1]
         oh = (lane == col).astype(cdt)           # [KN, N] 0/1 gather matrix
         oh32 = oh.astype(jnp.float32)
-        km_s = jnp.concatenate(
-            [kmm[:, kk:kk + 1] for kk in range(k)], axis=0
-        )                                        # [KN, 1]
-        d0_s = jnp.concatenate(
-            [d0m[:, kk:kk + 1] for kk in range(k)], axis=0
-        ).astype(cdt)                            # [KN, 1]
+        km_s = kms_ref[s]                        # [KN, 1]
+        d0_s = d0s_ref[s].astype(cdt)            # [KN, 1]
 
         # movable-receiver (first r_pad rows of each k-block) variants
         lane_r = jax.lax.broadcasted_iota(jnp.int32, (kr, n), 1)
-        col_r = jnp.concatenate(
-            [idxm[0:r_pad, kk:kk + 1] for kk in range(k)], axis=0
-        )
+        col_r = colr_ref[s]
         oh_r = (lane_r == col_r).astype(cdt)     # [KR, N]
         oh_r32 = oh_r.astype(jnp.float32)
-        km_r = jnp.concatenate(
-            [kmm[0:r_pad, kk:kk + 1] for kk in range(k)], axis=0
-        )
-        d0_r = jnp.concatenate(
-            [d0m[0:r_pad, kk:kk + 1] for kk in range(k)], axis=0
-        ).astype(cdt)
+        km_r = kmr_ref[s]
+        d0_r = d0r_ref[s].astype(cdt)
         # rows >= the true movable count never move (r_pad is tile-rounded)
         row_r = jax.lax.broadcasted_iota(jnp.int32, (r_pad, 1), 0)
         move_mask = (row_r < r_true).astype(jnp.float32)
@@ -189,8 +190,8 @@ def _make_fused_kernel(n: int, k: int, hdim: int, n_layers: int,
             x = jnp.concatenate([x[0:r_pad] + cagg, x[r_pad:]], axis=0)
             x = x * nmask
 
-        hout_ref[0] = h.astype(jnp.float32)
-        xout_ref[0] = x.astype(jnp.float32)
+        hout_ref[s] = h.astype(jnp.float32)
+        xout_ref[s] = x.astype(jnp.float32)
 
     return kernel
 
@@ -212,11 +213,14 @@ def egnn_forward_fused(
     update_rows: Optional[int] = None,
     interpret: bool = False,
     compute_dtype=jnp.bfloat16,
+    samples_per_program: int = 1,
 ):
     """models.egnn.EGNN equivalent (inv_sublayers=1, neighbor-list mode)
     as ONE fused pallas_call over the whole stack. ``update_rows``: the
     movable receivers are the first ``update_rows`` rows (the conditional
-    model's pharmacophore nodes); None moves every row."""
+    model's pharmacophore nodes); None moves every row.
+    ``samples_per_program``: batch elements run per Pallas program (the
+    batch is zero-padded up to a multiple; padded rows have node_mask 0)."""
     b, n, _ = h.shape
     kk = min(neighbor_k, n)
     hdim = egnn_params["embedding"]["kernel"].shape[1]
@@ -251,6 +255,21 @@ def egnn_forward_fused(
     r_true = update_rows if update_rows is not None else n_pad
     r_pad = min(_round_up(max(r_true, 1), 16), n_pad)
 
+    # stacked-K [B, K*rows, 1] column vectors (see kernel docstring): a
+    # transpose+reshape in XLA so every kernel input enters at lane offset 0
+    def stack_cols(v, rows):
+        return jnp.transpose(v[:, :rows], (0, 2, 1)).reshape(b, kk * rows, 1)
+
+    idx_i32 = idx.astype(jnp.int32)
+    km_f32 = kmask.astype(jnp.float32)
+    d0_f32 = dist0k.astype(jnp.float32)
+    col_s = stack_cols(idx_i32, n_pad)
+    kms_s = stack_cols(km_f32, n_pad)
+    d0s_s = stack_cols(d0_f32, n_pad)
+    col_r = stack_cols(idx_i32, r_pad)
+    kmr_s = stack_cols(km_f32, r_pad)
+    d0r_s = stack_cols(d0_f32, r_pad)
+
     # ---- stack per-layer weights (hoisted out of sampling scans by XLA)
     def stack(path):
         return jnp.stack([
@@ -284,10 +303,19 @@ def egnn_forward_fused(
     cmb = stack(["coord_update", "coord_mid", "bias"])[:, None, :]
     cg = stack(["coord_update", "coord_gate", "kernel"]).astype(cdt)
 
+    sb = max(1, min(samples_per_program, b))
+    b_pad = _round_up(b, sb)
+    if b_pad != b:
+        def pad_b(v):
+            return jnp.pad(v, [(0, b_pad - b)] + [(0, 0)] * (v.ndim - 1))
+        h0, x_p, nm = pad_b(h0), pad_b(x_p), pad_b(nm)
+        col_s, kms_s, d0s_s = pad_b(col_s), pad_b(kms_s), pad_b(d0s_s)
+        col_r, kmr_s, d0r_s = pad_b(col_r), pad_b(kmr_s), pad_b(d0r_s)
+
     kernel = _make_fused_kernel(
         n_pad, kk, hdim, n_layers, r_pad, r_true,
         norm_constant, coords_range, normalization_factor, tanh,
-        compute_dtype,
+        compute_dtype, samples_per_program=sb,
     )
 
     im_b = lambda bi: (bi, 0, 0)
@@ -297,14 +325,17 @@ def egnn_forward_fused(
 
     hout, xout = pl.pallas_call(
         kernel,
-        grid=(b,),
+        grid=(b_pad // sb,),
         in_specs=[
-            vspec((1, n_pad, hdim), im_b),
-            vspec((1, n_pad, 3), im_b),
-            vspec((1, n_pad, kk), im_b),
-            vspec((1, n_pad, kk), im_b),
-            vspec((1, n_pad, kk), im_b),
-            vspec((1, n_pad, 1), im_b),
+            vspec((sb, n_pad, hdim), im_b),
+            vspec((sb, n_pad, 3), im_b),
+            vspec((sb, kk * n_pad, 1), im_b),
+            vspec((sb, kk * n_pad, 1), im_b),
+            vspec((sb, kk * n_pad, 1), im_b),
+            vspec((sb, kk * r_pad, 1), im_b),
+            vspec((sb, kk * r_pad, 1), im_b),
+            vspec((sb, kk * r_pad, 1), im_b),
+            vspec((sb, n_pad, 1), im_b),
             vspec((L, hdim, hdim), im_w),   # wi
             vspec((L, hdim, hdim), im_w),   # wj
             vspec((L, 1, hdim), im_w),      # wjb
@@ -327,24 +358,24 @@ def egnn_forward_fused(
             vspec((L, hdim, 1), im_w),      # cg
         ],
         out_specs=(
-            vspec((1, n_pad, hdim), im_b),
-            vspec((1, n_pad, 3), im_b),
+            vspec((sb, n_pad, hdim), im_b),
+            vspec((sb, n_pad, 3), im_b),
         ),
         out_shape=(
-            jax.ShapeDtypeStruct((b, n_pad, hdim), jnp.float32),
-            jax.ShapeDtypeStruct((b, n_pad, 3), jnp.float32),
+            jax.ShapeDtypeStruct((b_pad, n_pad, hdim), jnp.float32),
+            jax.ShapeDtypeStruct((b_pad, n_pad, 3), jnp.float32),
         ),
         interpret=interpret,
     )(
-        h0, x_p.astype(jnp.float32), idx.astype(jnp.int32),
-        kmask.astype(jnp.float32), dist0k.astype(jnp.float32),
+        h0, x_p.astype(jnp.float32),
+        col_s, kms_s, d0s_s, col_r, kmr_s, d0r_s,
         nm[..., None].astype(jnp.float32),
         wi, wj, wjb, we, w2, w2b, attk, attb,
         nih, nia, nib, no, nob,
         cwi, cwj, cwjb, cwe, cm, cmb, cg,
     )
-    hout = hout[:, :n]
-    xout = xout[:, :n]
+    hout = hout[:b, :n]
+    xout = xout[:b, :n]
 
     # the kernel's row-sliced coordinate pass already froze rows >= r_true;
     # update_coords_mask additionally zeroes padded movable rows (their

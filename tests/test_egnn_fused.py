@@ -41,12 +41,16 @@ def _setup(b=2, n_p=4, n_q=9, hidden=32, layers=2, cutoff=None, seed=0):
     return cfg, dyn, params, xh_p, xh_q, t, m_p, m_q
 
 
-@pytest.mark.parametrize("cutoff", [None, 4.0])
-def test_fused_matches_flax_conditional(cutoff):
+@pytest.mark.parametrize("cutoff,spp", [(None, 1), (4.0, 1), (None, 2),
+                                        (4.0, 3)])
+def test_fused_matches_flax_conditional(cutoff, spp):
+    """spp > 1 exercises multi-sample programs, incl. batch padding
+    (b=2 with spp=3 pads one zero sample)."""
     cfg, dyn, params, xh_p, xh_q, t, m_p, m_q = _setup(cutoff=cutoff)
     ref_p, ref_q = dyn.apply(params, xh_p, xh_q, t, m_p, m_q)
     apply_fused = make_pallas_apply(
-        cfg, interpret=True, compute_dtype=jnp.float32, engine="fused"
+        cfg, interpret=True, compute_dtype=jnp.float32, engine="fused",
+        samples_per_program=spp,
     )
     out_p, out_q = apply_fused(params, xh_p, xh_q, t, m_p, m_q)
     np.testing.assert_allclose(
