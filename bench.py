@@ -18,10 +18,10 @@ vs_baseline is measured against the driver-set north star of 50k
 denoise steps/sec/chip (BASELINE.json) — the reference itself publishes no
 numbers (BASELINE.md).
 
-Env knobs: BENCH_PALLAS=1 (fused Pallas engine: the neighbor-list kernel at
-BENCH_K, or the dense-pair kernel when combined with BENCH_DENSE=1),
-BENCH_DENSE=1 (dense [N,N] pair blocks instead of the neighbor list),
-BENCH_BATCH, BENCH_K.
+Env knobs: BENCH_PALLAS=1 (the fused whole-network Pallas neighbor kernel
+at BENCH_K; BENCH_SPP sets samples per Pallas program), BENCH_DENSE=1
+(dense [N,N] pair blocks on the XLA engine instead of the neighbor list;
+incompatible with BENCH_PALLAS), BENCH_BATCH, BENCH_K.
 
 Timing fetches the sampled coordinates to host (np.asarray) inside the
 timed loop — `block_until_ready` alone does not reliably wait over the
@@ -58,7 +58,11 @@ def main():
     )
     dyn_cfg = dataclasses.replace(cfg.dynamics, egnn=egnn)
     dynamics = EGNNDynamics(dyn_cfg)
-    apply_fn = make_pallas_apply(dyn_cfg) if use_pallas else None
+    if use_pallas and use_dense:
+        raise SystemExit("BENCH_PALLAS needs the neighbor list; unset BENCH_DENSE")
+    spp = int(os.environ.get("BENCH_SPP", "1"))
+    apply_fn = (make_pallas_apply(dyn_cfg, samples_per_program=spp)
+                if use_pallas else None)
     model = ConditionalDDPM(cfg.ddpm, dynamics, apply_fn=apply_fn)
 
     n_p, n_q = 8, 110

@@ -157,30 +157,23 @@ def _type_mlp(h, p):
     return _dense(h, p["Dense_1"])
 
 
-def make_pallas_apply(cfg: DynamicsConfig, tile: int = 16,
-                      interpret: bool = False, compute_dtype=None,
-                      sparse: bool = False, engine: str = "auto",
+def make_pallas_apply(cfg: DynamicsConfig, interpret: bool = False,
+                      compute_dtype=None, engine: str = "fused",
                       samples_per_program: int = 1):
-    """A drop-in replacement for EGNNDynamics.apply backed by the Pallas
-    EGNN kernels. Same signature/params tree; inference path (no custom
-    VJP — use the flax path for training).
-
-    ``engine``: 'fused' = the whole-network single-kernel neighbor engine
-    (ops/egnn_fused.py, requires neighbor_k); 'pairpass' = the round-2
-    per-pass kernels (ops/egnn_pallas.py); 'auto' = fused when neighbor_k
-    is set, else pairpass."""
+    """A drop-in replacement for EGNNDynamics.apply backed by the fused
+    whole-network Pallas EGNN kernel (ops/egnn_fused.py). Same
+    signature/params tree; inference path (no custom VJP — use the flax
+    path for training). Requires neighbor_k (the dense mode's production
+    path is the flax/XLA graph; the round-2 dense and block-sparse Pallas
+    engines measured 4-17x slower than XLA and were removed — PERF.md)."""
     from cmdgen_tpu.ops.egnn_fused import egnn_forward_fused
-    from cmdgen_tpu.ops.egnn_pallas import egnn_forward_pallas
 
     assert cfg.egnn.inv_sublayers == 1, "pallas path supports inv_sublayers=1"
     assert cfg.mode == "egnn_dynamics" and not cfg.egnn.sin_embedding, (
         "pallas path supports the flagship egnn mode without sin_embedding"
     )
-    use_fused = engine == "fused" or (
-        engine == "auto" and cfg.egnn.neighbor_k is not None
-    )
-    if use_fused:
-        assert cfg.egnn.neighbor_k is not None, "fused engine needs neighbor_k"
+    assert engine in ("fused", "auto"), f"unknown pallas engine: {engine}"
+    assert cfg.egnn.neighbor_k is not None, "fused engine needs neighbor_k"
 
     def apply_fn(variables, xh_phar, xh_pocket, t, mask_phar, mask_pocket):
         p = variables["params"]
@@ -210,33 +203,19 @@ def make_pallas_apply(cfg: DynamicsConfig, tile: int = 16,
             )
         cdt = (compute_dtype if compute_dtype is not None
                else cfg.egnn.compute_dtype)
-        if use_fused:
-            h_final, x_final = egnn_forward_fused(
-                p["egnn"], h, x, edge_mask, mask, update_coords_mask,
-                n_layers=cfg.egnn.n_layers, out_node_nf=cfg.joint_nf + 1,
-                neighbor_k=cfg.egnn.neighbor_k,
-                norm_constant=cfg.egnn.norm_constant,
-                coords_range=cfg.egnn.coords_range,
-                normalization_factor=cfg.egnn.normalization_factor,
-                tanh=cfg.egnn.tanh,
-                update_rows=(None if cfg.update_pocket_coords
-                             else xh_phar.shape[-2]),
-                interpret=interpret, compute_dtype=cdt,
-                samples_per_program=samples_per_program,
-            )
-        else:
-            h_final, x_final = egnn_forward_pallas(
-                p["egnn"], h, x, edge_mask, mask, update_coords_mask,
-                n_layers=cfg.egnn.n_layers, out_node_nf=cfg.joint_nf + 1,
-                norm_constant=cfg.egnn.norm_constant,
-                coords_range=cfg.egnn.coords_range,
-                normalization_factor=cfg.egnn.normalization_factor,
-                tanh=cfg.egnn.tanh, tile=tile, interpret=interpret,
-                compute_dtype=cdt,
-                sparse=sparse,
-                cutoff2=(cfg.edge_cutoff**2 if cfg.edge_cutoff else 1.0e9),
-                neighbor_k=cfg.egnn.neighbor_k,
-            )
+        h_final, x_final = egnn_forward_fused(
+            p["egnn"], h, x, edge_mask, mask, update_coords_mask,
+            n_layers=cfg.egnn.n_layers, out_node_nf=cfg.joint_nf + 1,
+            neighbor_k=cfg.egnn.neighbor_k,
+            norm_constant=cfg.egnn.norm_constant,
+            coords_range=cfg.egnn.coords_range,
+            normalization_factor=cfg.egnn.normalization_factor,
+            tanh=cfg.egnn.tanh,
+            update_rows=(None if cfg.update_pocket_coords
+                         else xh_phar.shape[-2]),
+            interpret=interpret, compute_dtype=cdt,
+            samples_per_program=samples_per_program,
+        )
         vel = (x_final - x) * mask[..., None]
         if cfg.condition_time:
             h_final = h_final[..., :-1]

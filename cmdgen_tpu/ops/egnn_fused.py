@@ -2,10 +2,11 @@
 
 Round-3 kernel design, built from the round-2 lessons recorded in PERF.md:
 
-- Round 2's per-pass kernels (`ops/egnn_pallas.py`) launched one program
-  per (batch element x pass x layer) — 480 programs/step at flagship
-  shapes, paying ~10 us each of launch + serial VPU<->MXU overhead, and
-  writing every intermediate back to HBM between passes. They lose to XLA.
+- Round 2's per-pass kernels (removed in round 3 — see PERF.md) launched
+  one program per (batch element x pass x layer) — 480 programs/step at
+  flagship shapes, paying ~10 us each of launch + serial VPU<->MXU
+  overhead, and writing every intermediate back to HBM between passes.
+  They lost to XLA (6.5-31.7 ms vs 1.8 ms/batch-step).
 - This kernel runs the ENTIRE n_layers EGNN stack for one sample in ONE
   program (grid = batch): h and x never leave VMEM between blocks, every
   layer's weights are resident, and per-step program count drops from 480
