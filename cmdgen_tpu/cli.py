@@ -390,6 +390,10 @@ def _add_run_all(sub):
     p.add_argument("--n-conformers", type=int, default=5)
     p.add_argument("--neighbor-k", type=int, default=12)
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--contact-filter", type=float, default=6.0,
+                   help="drop sampled points farther than this (Å) from "
+                        "the nearest pocket atom before consensus "
+                        "(0 disables; data p99 contact is ~4.1 Å)")
 
     def run(args):
         import dataclasses
@@ -434,6 +438,8 @@ def _add_run_all(sub):
             decode_batch=(args.decode_batch if args.decode_batch
                           else min(512, args.smiles_per_hypothesis)),
             n_conformers=args.n_conformers,
+            contact_filter=(args.contact_filter
+                            if args.contact_filter > 0 else None),
         )
         results, stats = run_pipeline(
             model, params, gmodel, gparams, tokenizer, pockets,

@@ -228,15 +228,24 @@ def align_entries(
         )
         rs, ts = jax.vmap(kabsch)(flat, tgt)
         aligned_cents = np.asarray(jax.vmap(apply_rigid)(rs, ts, flat))
+        # float64: squared errors of a diverged embedding (unattainable
+        # target distances) overflow float32; non-finite conformers are
+        # dropped below rather than reported as inf/nan RMSDs
         errs = np.sqrt(
-            ((aligned_cents - np.asarray(tgt)) ** 2).sum(-1).mean(-1)
+            ((aligned_cents.astype(np.float64)
+              - np.asarray(tgt, dtype=np.float64)) ** 2).sum(-1).mean(-1)
         ).reshape(m, n_conformers)
         rs = np.asarray(rs).reshape(m, n_conformers, 3, 3)
         ts = np.asarray(ts).reshape(m, n_conformers, 3)
         for mi, (idx, mol, _) in enumerate(ents):
-            order = np.argsort(errs[mi])[:num_keep]
+            finite = np.isfinite(errs[mi])
+            if not finite.any():
+                continue
+            order = np.argsort(np.where(finite, errs[mi], np.inf))[:num_keep]
             res = []
             for c in order:
+                if not finite[c]:
+                    continue
                 coords = confs[mi, c, : mol.n_atoms] @ rs[mi, c].T + ts[mi, c]
                 res.append((float(errs[mi, c]), coords))
             results[idx] = res

@@ -74,6 +74,14 @@ class PipelineConfig:
     align_chunk: int = 64                # fixed M per align jit (no recompiles)
     size_bucket: int = 16                # atom-count padding granularity
     queue_depth: int = 8
+    # drop sampled points farther than this from the nearest pocket atom
+    # before consensus pooling. Physically grounded: real pharmacophore
+    # points sit in contact with the pocket (p99 nearest-CA distance
+    # ~4.1 Å on the corpus; the reference's pocket definition is the <=8 Å
+    # shell around the ligand, process_crossdock.py:67-75) — 6 Å keeps all
+    # data-like points and removes diverged sampler output that would
+    # otherwise pull GMM cluster centers to unattainable geometry.
+    contact_filter: Optional[float] = 6.0
 
 
 @dataclasses.dataclass
@@ -92,6 +100,28 @@ def _flatten_cloud_dict(clouds: Dict) -> Tuple[np.ndarray, List[str]]:
                 coords.append(p)
                 families.append(fam)
     return np.asarray(coords, dtype=np.float32), families
+
+
+def contact_filter_points(
+    pts: np.ndarray, fams: List[str], pocket_coords: np.ndarray,
+    cutoff: float,
+) -> Tuple[np.ndarray, List[str], int]:
+    """Keep sampled points within ``cutoff`` of the nearest pocket atom.
+
+    Real pharmacophore points sit in contact with the pocket (corpus p99
+    nearest-CA distance ~4.1 Å; the reference defines the pocket as the
+    <=8 Å shell around the ligand, process_crossdock.py:67-75), so the
+    filter is a no-op on data-like clouds; it removes diverged sampler
+    output before consensus pooling. Returns (pts, fams, n_dropped).
+    """
+    near = np.linalg.norm(
+        pts[:, None, :] - pocket_coords[None, :, :], axis=-1
+    ).min(axis=1) <= cutoff
+    return (
+        pts[near],
+        [f for f, m in zip(fams, near) if m],
+        int((~near).sum()),
+    )
 
 
 _CONSENSUS = {
@@ -156,6 +186,15 @@ def run_pipeline(
                 pts, fams = _flatten_cloud_dict(clouds)
                 if len(pts) == 0:
                     continue
+                if cfg.contact_filter is not None:
+                    pts, fams, dropped = contact_filter_points(
+                        pts, fams, np.asarray(coords), cfg.contact_filter
+                    )
+                    stats["contact_filtered"] = stats.get(
+                        "contact_filtered", 0
+                    ) + dropped
+                    if len(pts) < 2:
+                        continue
                 for nc in cfg.cluster_counts:
                     t0 = time.perf_counter()
                     cons = consensus_fn(pts, fams, n_clusters=nc, seed=nc)

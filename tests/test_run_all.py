@@ -84,6 +84,7 @@ def test_run_pipeline_end_to_end(tiny_models, monkeypatch, tmp_path):
         cluster_counts=(2,), smiles_per_hypothesis=32, decode_batch=16,
         n_conformers=2, refine_steps=40, num_keep=2, align_chunk=8,
         size_bucket=8,
+        contact_filter=None,  # untrained diffusion emits diverged clouds
     )
     results, stats = run_all.run_pipeline(
         diff_model, diff_params, gmodel, gparams, tok, pockets,
@@ -152,6 +153,7 @@ def test_downstream_failure_does_not_deadlock(tiny_models, monkeypatch):
         n_clouds_per_pocket=4, diff_timesteps=4, n_phar_max=4,
         cluster_counts=(2,), smiles_per_hypothesis=16, decode_batch=16,
         align_chunk=2, queue_depth=1,  # tiny queues force backpressure
+        contact_filter=None,
     )
     with pytest.raises(RuntimeError, match="align blew up"):
         run_all.run_pipeline(
@@ -171,3 +173,21 @@ def test_run_pipeline_propagates_errors(tiny_models):
             diff_model, diff_params, gmodel, gparams, tok, pockets,
             jax.random.PRNGKey(7), cfg,
         )
+
+
+def test_contact_filter_points():
+    """Data-like points (in contact with the pocket) pass; diverged points
+    are dropped; families stay aligned with coordinates."""
+    rng = np.random.RandomState(0)
+    pocket = rng.randn(20, 3).astype(np.float32) * 5.0
+    near = pocket[:4] + rng.randn(4, 3).astype(np.float32) * 0.5
+    far = pocket[:3] + 100.0
+    pts = np.concatenate([near, far])
+    fams = ["A", "B", "C", "D", "X", "Y", "Z"]
+    kept, kf, dropped = run_all.contact_filter_points(pts, fams, pocket, 6.0)
+    assert dropped == 3
+    assert kf == ["A", "B", "C", "D"]
+    np.testing.assert_allclose(kept, near)
+    # no-op on fully-in-contact clouds
+    kept2, kf2, d2 = run_all.contact_filter_points(near, fams[:4], pocket, 6.0)
+    assert d2 == 0 and len(kept2) == 4
