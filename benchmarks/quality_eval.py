@@ -36,10 +36,17 @@ import jax
 import numpy as np
 
 
-def make_corpus(n=8000, seed=0, max_atoms=38):
+def make_corpus(n=8000, seed=0, max_atoms=38, long_frac=0.0):
     """Drug-fragment-grammar molecules: ring cores with substituents plus
     fragment chains — richer than train_demo's (branches, heterocycles,
-    multiple rings), sized like ChEMBL drugs."""
+    multiple rings), sized like ChEMBL drugs.
+
+    ``long_frac`` builds that fraction of molecules as three-core chains
+    (core-link-core-link-core): their far-apart pharmacophore features
+    cover shortest-path distances ~7-13, the range DiffPhar-consensus
+    hypotheses actually condition on (measured median sdis ~7.6, max ~11
+    — e2e conditioning is out-of-distribution for the two-core grammar,
+    whose sdis median is 3.9 / p90 7.0)."""
     from cmdgen_tpu.chem.mol import canonical_smiles, mol_from_smiles
 
     rng = random.Random(seed)
@@ -60,7 +67,11 @@ def make_corpus(n=8000, seed=0, max_atoms=38):
         attempts += 1
         # head-core-link-tail, optionally with a second core (biaryl-likes)
         s = rng.choice(subs) + rng.choice(cores) + rng.choice(links)
-        if rng.random() < 0.35:
+        if rng.random() < long_frac:
+            # three-core chain: long-span pharmacophore pairs (sdis 7-13)
+            s += rng.choice(cores).replace("1", "2") + rng.choice(links)
+            s += rng.choice(cores).replace("1", "3") + rng.choice(links)
+        elif rng.random() < 0.35:
             # second ring system: bump its ring-bond digit to keep ids unique
             s += rng.choice(cores).replace("1", "2") + rng.choice(links)
         s += rng.choice(subs)
@@ -75,12 +86,13 @@ def make_corpus(n=8000, seed=0, max_atoms=38):
 
 
 def gcpg_quality(quick=False, n_corpus=None, epochs=None, workdir=None,
-                 eval_only=False):
+                 eval_only=False, long_frac=0.0):
     from cmdgen_tpu.config import GCPGModelConfig, GCPGTrainConfig
     from cmdgen_tpu.pipeline.evaluate import eval_gcpg
     from cmdgen_tpu.train.gcpg_train import train_gcpg
 
-    corpus = make_corpus(n_corpus or (600 if quick else 8000))
+    corpus = make_corpus(n_corpus or (600 if quick else 8000),
+                         long_frac=long_frac)
     rng = random.Random(1)
     rng.shuffle(corpus)
     n_test = max(32, len(corpus) // 20)
@@ -295,6 +307,10 @@ if __name__ == "__main__":
     ap.add_argument("--diffphar-epochs", type=int, default=None)
     ap.add_argument("--gcpg-corpus", type=int, default=None)
     ap.add_argument("--gcpg-epochs", type=int, default=None)
+    ap.add_argument("--gcpg-long-frac", type=float, default=0.0,
+                    help="fraction of three-core (long-span) corpus "
+                         "molecules; covers the sdis 7-13 conditioning "
+                         "range of DiffPhar-consensus hypotheses")
     ap.add_argument("--diffphar-complexes", type=int, default=None)
     ap.add_argument("--diffphar-neighbor-k", type=int, default=None)
     ap.add_argument("--diffphar-steps-per-call", type=int, default=1)
@@ -341,5 +357,6 @@ if __name__ == "__main__":
         out.update(gcpg_quality(
             args.quick, n_corpus=args.gcpg_corpus, epochs=args.gcpg_epochs,
             workdir=args.workdir, eval_only=args.eval_only,
+            long_frac=args.gcpg_long_frac,
         ))
     print(json.dumps(out))

@@ -238,7 +238,10 @@ def align_entries(
         rs = np.asarray(rs).reshape(m, n_conformers, 3, 3)
         ts = np.asarray(ts).reshape(m, n_conformers, 3)
         for mi, (idx, mol, _) in enumerate(ents):
-            finite = np.isfinite(errs[mi])
+            # a diverged DG embedding can also come back finite-but-huge
+            # (1e8+ Å); anything past 1e3 is unambiguous garbage, not a
+            # pose — drop it with the non-finite ones
+            finite = np.isfinite(errs[mi]) & (errs[mi] < 1e3)
             if not finite.any():
                 continue
             order = np.argsort(np.where(finite, errs[mi], np.inf))[:num_keep]
