@@ -60,9 +60,27 @@ def main():
 
     for mode in args.modes.split(","):
         # modes: dense | nbK (XLA one-hot neighbor list) | pnbK (fused
-        # Pallas neighbor kernel)
+        # Pallas neighbor kernel) | floor (no-op denoiser: sampler+scan
+        # floor) | nbKnotopk (neighbor list without the top_k: its
+        # compute-shape twin selects the first K columns — WRONG results,
+        # timing ablation that isolates the per-step top_k cost)
         apply_fn = None
-        if mode == "dense":
+        notopk = False
+        if mode.endswith("notopk"):
+            mode_eff, notopk = mode[: -len("notopk")], True
+        else:
+            mode_eff = mode
+        if mode == "floor":
+            egnn = dataclasses.replace(
+                base.dynamics.egnn, compute_dtype=jnp.bfloat16
+            )
+            dyn_cfg = dataclasses.replace(base.dynamics, egnn=egnn)
+
+            def apply_fn(params, z_phar, xh_pocket, t, m1, m2):
+                eps = jnp.zeros_like(z_phar) + 1e-6 * t[..., None, :]
+                return eps, xh_pocket
+
+        elif mode == "dense":
             egnn = dataclasses.replace(
                 base.dynamics.egnn, compute_dtype=jnp.bfloat16
             )
@@ -78,11 +96,28 @@ def main():
             dyn_cfg = dataclasses.replace(base.dynamics, egnn=egnn)
             apply_fn = make_pallas_apply(dyn_cfg, samples_per_program=sb)
         else:
-            k = int(mode[2:])
+            k = int(mode_eff[2:])
             egnn = dataclasses.replace(
                 base.dynamics.egnn, compute_dtype=jnp.bfloat16, neighbor_k=k
             )
             dyn_cfg = dataclasses.replace(base.dynamics, egnn=egnn)
+        if notopk:
+            from cmdgen_tpu.models import egnn as egnn_mod
+
+            def _fake_neighbor_list(x, edge_mask, kk, dtype=jnp.float32):
+                n = x.shape[-2]
+                kk = min(kk, n)
+                idx = jnp.broadcast_to(
+                    jnp.arange(kk)[None, None, :], (*x.shape[:-1], kk)
+                )
+                onehot = jax.nn.one_hot(idx, n, dtype=dtype)
+                kmask = jnp.einsum(
+                    "bikn,bin->bik", onehot, edge_mask.astype(dtype)
+                )
+                return onehot, kmask
+
+            egnn_mod_orig = egnn_mod.build_neighbor_list
+            egnn_mod.build_neighbor_list = _fake_neighbor_list
         dynamics = EGNNDynamics(dyn_cfg)
         model = ConditionalDDPM(base.ddpm, dynamics, apply_fn=apply_fn)
         for b in batches:
@@ -129,6 +164,8 @@ def main():
                 f"mode={mode:<6} B={b:<4} {dt*1e3/t_steps:7.2f} ms/batch-step"
                 f"  {sps:10.0f} denoise steps/s"
             )
+        if notopk:
+            egnn_mod.build_neighbor_list = egnn_mod_orig
 
 
 if __name__ == "__main__":
