@@ -154,6 +154,27 @@ def main():
             round(float(np.mean(ok)), 4) if ok else -1.0
         )
         out["match_scored_n"] = len(ok)
+    # match score of the pipeline's actual OUTPUT set (the aligned
+    # molecules a user receives), vs the random-sample score above which
+    # includes decodes the tolerance filter rejected
+    hyp_graphs = {
+        hid: points_to_graph(list(types), ppc, py_rng)
+        for hid, (types, ppc) in collect.get("hypotheses", {}).items()
+    }
+    ag, asmi = [], []
+    for r in results[: 4 * args.match_sample]:
+        g = hyp_graphs.get(r.hypothesis)
+        if g is None:
+            continue
+        ag.append(tuple(np.asarray(a) for a in g))
+        asmi.append(r.smiles)
+    if asmi:
+        scores = get_match_scores(ag, asmi, n_workers=4, timeout=20)
+        ok = [s for s in scores if s >= 0]
+        out["match_score_aligned"] = (
+            round(float(np.mean(ok)), 4) if ok else -1.0
+        )
+        out["match_aligned_n"] = len(ok)
     out["vs_target_1k_per_min"] = round(
         stats["aligned_mols_per_min"] / 1000.0, 3
     )

@@ -147,16 +147,46 @@ def _type_probs():
     return h / h.sum()
 
 
-def make_diffphar_dataset(out_dir, n_complexes=600, seed=0):
+def _aa_primary_types():
+    """Fixed amino-acid-class -> preferred pharmacophore type map.
+
+    Largest-remainder apportionment of the 20 aa classes to the 8 types by
+    the PHAR_HIST marginals, so the aa-conditioned mixture below keeps the
+    corpus type marginal at the reference histogram. Deterministic: train
+    and test splits (and the trained model) share the same chemistry."""
+    probs = _type_probs()
+    quota = probs * 20
+    counts = np.floor(quota).astype(int)
+    rem = quota - counts
+    for t in np.argsort(-rem)[: 20 - counts.sum()]:
+        counts[t] += 1
+    return np.repeat(np.arange(8), counts)
+
+
+def make_diffphar_dataset(out_dir, n_complexes=600, seed=0,
+                          aa_typed=False):
     """Synthetic structured pocket/pharmacophore npz splits: pockets are
     realistic CA shells; pharmacophore points sit at inward-shifted pocket
     anchors with types drawn from a fixed histogram (the distribution the
-    type-KL eval measures against)."""
+    type-KL eval measures against).
+
+    ``aa_typed``: condition each point's type on its anchor residue's
+    amino-acid class (60% the residue's preferred type from
+    ``_aa_primary_types``, 40% the marginal histogram). Real pharmacophore
+    types are determined by local pocket chemistry; with iid types the
+    model can only learn marginals, sampled clouds carry no type-position
+    correlation, and the per-family-normalized consensus vote
+    (get_phar.py:_cluster_feature_types, reference GMM_json.py semantics)
+    amplifies scattered rare families into UNKNOWN/POSC hypothesis nodes
+    no drug-like molecule can realize (measured corpus-vs-hypothesis match
+    ceiling 0.4-0.67). aa-conditioning restores the learnable structure
+    the reference's real data has; marginals stay at PHAR_HIST."""
     from cmdgen_tpu.data.crossdocked import write_split_npz
     from cmdgen_tpu.utils.synthetic import realistic_ca_pocket
 
     rng = np.random.RandomState(seed)
     type_probs = _type_probs()
+    aa_primary = _aa_primary_types()
     out_dir = pathlib.Path(out_dir)
     out_dir.mkdir(parents=True, exist_ok=True)
     splits = {"train": int(n_complexes * 0.9),
@@ -175,7 +205,9 @@ def make_diffphar_dataset(out_dir, n_complexes=600, seed=0):
                 np.random.RandomState(idx), n_q, r_lo=5.0, r_hi=13.0
             )
             n_p = rng.randint(3, 9)
-            anchors = pocket[rng.choice(n_q, n_p, replace=False)]
+            anchor_idx = rng.choice(n_q, n_p, replace=False)
+            anchors = pocket[anchor_idx]
+            aa_ids = rng.randint(0, 20, n_q)
             # contact distance: each point ~3.5 A inward of its anchor CA,
             # i.e. INSIDE the 6 A message-passing cutoff — with points
             # beyond the cutoff the denoiser is disconnected from the
@@ -185,16 +217,21 @@ def make_diffphar_dataset(out_dir, n_complexes=600, seed=0):
                 np.linalg.norm(anchors, axis=1, keepdims=True) + 1e-9
             )
             phar = anchors + inward * 3.5 + rng.randn(n_p, 3) * 0.5
-            types = rng.choice(8, n_p, p=type_probs)
+            if aa_typed:
+                types = np.where(
+                    rng.random_sample(n_p) < 0.6,
+                    aa_primary[aa_ids[anchor_idx]],
+                    rng.choice(8, n_p, p=type_probs),
+                )
+            else:
+                types = rng.choice(8, n_p, p=type_probs)
             joint = np.concatenate([phar, pocket])
             com = joint.mean(0, keepdims=True)
             complexes.append({
                 "phar_coords": (phar - com).astype(np.float32),
                 "phar_one_hot": np.eye(8, dtype=np.float32)[types],
                 "pocket_c_alpha": (pocket - com).astype(np.float32),
-                "pocket_one_hot": np.eye(20, dtype=np.float32)[
-                    rng.randint(0, 20, n_q)
-                ],
+                "pocket_one_hot": np.eye(20, dtype=np.float32)[aa_ids],
             })
             names.append(f"synth_{idx}")
             sizes.append((n_p, n_q))
@@ -216,7 +253,8 @@ def diffphar_quality(quick=False, epochs=None, n_complexes=None,
                      n_layers=None, batch_size=16, lr=3e-4,
                      workdir=None, eval_only=False, eval_pockets=None,
                      ckpt_name="last", val_epochs=1,
-                     eval_clamp_x=None, eval_timesteps=None):
+                     eval_clamp_x=None, eval_timesteps=None,
+                     aa_typed=False):
     """Train (or reload from ``workdir``) the conditional DDPM on the
     synthetic structured corpus and run the reference eval suite.
 
@@ -260,6 +298,7 @@ def diffphar_quality(quick=False, epochs=None, n_complexes=None,
         if not (data / "train.npz").exists():
             make_diffphar_dataset(
                 data, n_complexes or (60 if quick else 600),
+                aa_typed=aa_typed,
             )
         train_s = 0.0
         if eval_only:
@@ -328,6 +367,10 @@ if __name__ == "__main__":
     ap.add_argument("--eval-pockets", type=int, default=None)
     ap.add_argument("--ckpt-name", default="last")
     ap.add_argument("--diffphar-val-epochs", type=int, default=1)
+    ap.add_argument("--diffphar-aa-typed", action="store_true",
+                    help="aa-conditioned pharmacophore types in the "
+                         "synthetic corpus (type-position correlation, "
+                         "see make_diffphar_dataset)")
     ap.add_argument("--eval-clamp-x", type=float, default=None,
                     help="static coordinate thresholding during eval "
                          "sampling (Å; opt-in stabilization knob)")
@@ -351,6 +394,7 @@ if __name__ == "__main__":
             val_epochs=args.diffphar_val_epochs,
             eval_clamp_x=args.eval_clamp_x,
             eval_timesteps=args.eval_timesteps,
+            aa_typed=args.diffphar_aa_typed,
         ))
         print("# diffphar done:", json.dumps(out))
     if not args.skip_gcpg:

@@ -366,6 +366,13 @@ def egnn_forward_fused(
             jax.ShapeDtypeStruct((b_pad, n_pad, hdim), jnp.float32),
             jax.ShapeDtypeStruct((b_pad, n_pad, 3), jnp.float32),
         ),
+        # the default 16 MiB scoped-VMEM ceiling caps samples_per_program
+        # at ~2 (weights ~6 MiB + per-sample activations ~3 MiB); v5e has
+        # 128 MiB VMEM/core — raise the ceiling so larger SB can amortize
+        # program launch + weight streaming (measured ~10 us/program)
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
         interpret=interpret,
     )(
         h0, x_p.astype(jnp.float32),
