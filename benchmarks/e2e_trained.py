@@ -162,7 +162,9 @@ def main():
         for hid, (types, ppc) in collect.get("hypotheses", {}).items()
     }
     ag, asmi = [], []
-    for r in results[: 4 * args.match_sample]:
+    results_sample = list(results)
+    py_rng.shuffle(results_sample)  # not hypothesis-ordered
+    for r in results_sample[: 4 * args.match_sample]:
         g = hyp_graphs.get(r.hypothesis)
         if g is None:
             continue

@@ -254,7 +254,7 @@ def diffphar_quality(quick=False, epochs=None, n_complexes=None,
                      workdir=None, eval_only=False, eval_pockets=None,
                      ckpt_name="last", val_epochs=1,
                      eval_clamp_x=None, eval_timesteps=None,
-                     aa_typed=False):
+                     aa_typed=False, resume=False):
     """Train (or reload from ``workdir``) the conditional DDPM on the
     synthetic structured corpus and run the reference eval suite.
 
@@ -320,7 +320,9 @@ def diffphar_quality(quick=False, epochs=None, n_complexes=None,
             logger = MetricsLogger(root / "ckpt", "quality_diffphar")
             t0 = time.time()
             state, model = train_diffphar(
-                cfg, data, root / "ckpt", log_fn=logger.log
+                cfg, data, root / "ckpt", log_fn=logger.log,
+                resume_from=(root / "ckpt") if resume
+                and (root / "ckpt" / "last.json").exists() else None,
             )
             params = tstate.eval_params(state)
             train_s = time.time() - t0
@@ -367,6 +369,9 @@ if __name__ == "__main__":
     ap.add_argument("--eval-pockets", type=int, default=None)
     ap.add_argument("--ckpt-name", default="last")
     ap.add_argument("--diffphar-val-epochs", type=int, default=1)
+    ap.add_argument("--diffphar-resume", action="store_true",
+                    help="resume training from workdir/ckpt 'last' "
+                         "(params+opt_state+EMA; covered epochs skipped)")
     ap.add_argument("--diffphar-aa-typed", action="store_true",
                     help="aa-conditioned pharmacophore types in the "
                          "synthetic corpus (type-position correlation, "
@@ -395,6 +400,7 @@ if __name__ == "__main__":
             eval_clamp_x=args.eval_clamp_x,
             eval_timesteps=args.eval_timesteps,
             aa_typed=args.diffphar_aa_typed,
+            resume=args.diffphar_resume,
         ))
         print("# diffphar done:", json.dumps(out))
     if not args.skip_gcpg:

@@ -10,6 +10,7 @@ of rank-0-only.
 """
 from __future__ import annotations
 
+import dataclasses
 import time
 from pathlib import Path
 from typing import Callable, Dict, Optional
@@ -130,8 +131,15 @@ def train_diffphar(
     out_dir,
     max_steps: Optional[int] = None,
     log_fn: Callable[[int, Dict], None] = lambda step, m: None,
+    resume_from=None,
 ):
-    """Full training entry (DiffPhar/train.py equivalent)."""
+    """Full training entry (DiffPhar/train.py equivalent).
+
+    ``resume_from``: checkpoint dir whose ``last`` payload (params +
+    opt_state + ema_params, written by this trainer) restarts training at
+    its recorded step — whole epochs already covered are skipped, and the
+    per-epoch RNG stream is fast-forwarded so the resumed run draws fresh
+    batches/timesteps rather than replaying epoch 0's."""
     datadir = Path(datadir)
     out_dir = Path(out_dir)
     train_ds = DiffPharDataset(datadir / "train.npz")
@@ -153,6 +161,27 @@ def train_diffphar(
     first = train_ds.padded_batch(list(range(min(cfg.train.batch_size, len(train_ds)))))
     params = init_params(model, k_init, first)
     state = tstate.init_state(params, optimizer, ema=cfg.train.ema_decay > 0)
+    start_step = 0
+    if resume_from is not None:
+        payload, meta = ckpt.load_checkpoint(Path(resume_from), "last")
+        # orbax restores pytrees as plain containers; rebuild the optax
+        # NamedTuple state around the restored leaves (same flatten order:
+        # alphabetical dict keys == optax field order for adam states)
+        ref_leaves, ref_def = jax.tree_util.tree_flatten(state.opt_state)
+        opt_leaves = jax.tree_util.tree_leaves(payload["opt_state"])
+        if len(opt_leaves) != len(ref_leaves):
+            raise ValueError(
+                f"resume_from optimizer state has {len(opt_leaves)} leaves, "
+                f"expected {len(ref_leaves)} (different optimizer config?)"
+            )
+        state = dataclasses.replace(
+            state,
+            params=payload["params"],
+            opt_state=jax.tree_util.tree_unflatten(ref_def, opt_leaves),
+            ema_params=payload.get("ema_params", state.ema_params),
+            step=jnp.asarray(int(meta["step"]), dtype=jnp.int32),
+        )
+        start_step = int(meta["step"])
 
     mesh = pmesh.make_mesh(dp=cfg.train.dp, tp=cfg.train.tp)
     state = pmesh.replicate(state, mesh)
@@ -204,8 +233,32 @@ def train_diffphar(
         for b in buf:
             yield "single", [b]
 
+    _bs0 = cfg.train.batch_size
+    _nb0 = max(1, len(train_ds) // _bs0)
+    _epoch_steps = -(-_nb0 // spc) * spc  # resident path: exact per epoch
+
+    def _cadence_splits(epoch):
+        """rng splits the bookkeeping tail of one epoch consumes."""
+        n = 0
+        if ((epoch + 1) % max(1, cfg.train.val_epochs) == 0
+                or (epoch + 1) % max(1, cfg.train.ckpt_epochs) == 0):
+            n += 1
+        if (cfg.train.eval_epochs
+                and (epoch + 1) % cfg.train.eval_epochs == 0
+                and hasattr(model, "sample_given_pocket")):
+            n += 1
+        return n
+
     with mesh:
         for epoch in range(cfg.train.n_epochs):
+            if resident and step + _epoch_steps <= start_step:
+                # epoch fully covered by the resumed checkpoint: consume
+                # the exact RNG draws it made, run nothing on device
+                np_rng.permutation(len(train_ds))
+                for _ in range(-(-_nb0 // spc) + _cadence_splits(epoch)):
+                    rng, _ = jax.random.split(rng)
+                step += _epoch_steps
+                continue
             if resident:
                 bs = cfg.train.batch_size
                 order = np_rng.permutation(len(train_ds)).astype(np.int32)

@@ -126,6 +126,43 @@ def test_diffphar_training_loop(tiny_crossdocked, tmp_path):
     assert "config" in meta
 
 
+def test_diffphar_training_resume(tiny_crossdocked, tmp_path):
+    """resume_from restores params+opt_state at the recorded step, skips
+    covered epochs (resident path), and continues to the new horizon."""
+    out, _ = tiny_crossdocked
+    cfg = cfgmod.full_atom_config()
+    base = dataclasses.replace(
+        cfg,
+        dynamics=dataclasses.replace(
+            cfg.dynamics,
+            egnn=EGNNConfig(hidden_nf=16, n_layers=1, inv_sublayers=1),
+        ),
+        ddpm=dataclasses.replace(cfg.ddpm, timesteps=5),
+    )
+    # resident multistep config: 2 epochs, then resume to 4
+    mk_train = lambda n: dataclasses.replace(
+        base.train, batch_size=2, n_epochs=n, dp=1,
+        steps_per_call=2, resident_data="on", ckpt_epochs=1,
+    )
+    cfg1 = dataclasses.replace(base, train=mk_train(2))
+    state1, _ = train_diffphar(cfg1, out, tmp_path / "ck")
+    from cmdgen_tpu.train.checkpoint import load_checkpoint
+
+    _, meta1 = load_checkpoint(tmp_path / "ck", "last")
+    cfg2 = dataclasses.replace(base, train=mk_train(4))
+    state2, _ = train_diffphar(
+        cfg2, out, tmp_path / "ck", resume_from=tmp_path / "ck"
+    )
+    _, meta2 = load_checkpoint(tmp_path / "ck", "last")
+    assert meta2["step"] > meta1["step"]
+    # params moved on from the restored point
+    d = jax.tree_util.tree_map(
+        lambda a, b: float(np.abs(np.asarray(a) - np.asarray(b)).max()),
+        state1.params, state2.params,
+    )
+    assert max(jax.tree_util.tree_leaves(d)) > 0
+
+
 def test_beta_annealer_matches_reference_phases():
     betas = list(__import__("itertools").islice(
         gcpg_train.gen_beta(3e-4, 1e-2, 6, 18, 24), 30
