@@ -113,6 +113,35 @@ def _silu_dtype(cfg):
     return dict(dtype=cfg.compute_dtype)
 
 
+class _DenseParams(nn.Module):
+    """Parameters of an ``nn.Dense`` under the same name / tree path
+    (``kernel [in, out]``, zero-init bias), returned *unapplied* so callers
+    can fuse the matmul into a neighbouring op (broadcast FMA, kernel-axis
+    split) without changing the checkpoint layout."""
+
+    features: int
+    in_features: int
+    use_bias: bool = True
+
+    @nn.compact
+    def __call__(self):
+        kernel = self.param(
+            "kernel",
+            nn.initializers.lecun_normal(),
+            (self.in_features, self.features),
+            jnp.float32,
+        )
+        bias = (
+            self.param(
+                "bias", nn.initializers.zeros_init(), (self.features,),
+                jnp.float32,
+            )
+            if self.use_bias
+            else None
+        )
+        return kernel, bias
+
+
 class PairFirstLayer(nn.Module):
     """First pair-MLP layer: Dense([h_i ‖ h_j ‖ e_ij]) without the concat.
 
@@ -128,19 +157,28 @@ class PairFirstLayer(nn.Module):
     def __call__(self, h, e, nbr=None, rows=None):
         """rows: optionally restrict the receiver (i) axis to the first
         ``rows`` nodes — e (and nbr) must already be row-sliced to match."""
-        wi = nn.Dense(self.features, use_bias=False, dtype=self.dtype, name="w_i")(h)
+        hi = h if rows is None else h[..., :rows, :]
+        wi = nn.Dense(self.features, use_bias=False, dtype=self.dtype, name="w_i")(hi)
         wj = nn.Dense(self.features, use_bias=True, dtype=self.dtype, name="w_j")(h)
-        if rows is not None:
-            wi = wi[..., :rows, :]
         if nbr is None:
             wj_pair = wj[..., None, :, :]
         else:
             wj_pair = gather_nodes(wj, nbr)
         out = wi[..., :, None, :] + wj_pair
         if e is not None:  # edges_in_d=0 (plain GNN) has no edge features
-            out = out + nn.Dense(
-                self.features, use_bias=False, dtype=self.dtype, name="w_e"
-            )(e)
+            # The edge features are E=2-dim (E=13 with sin_embedding), so
+            # the [B,N,J,E] @ [E,H] projection is expressed as E broadcast
+            # FMAs instead of a matmul: elementwise ops fuse into the
+            # consumer (the pair-sum + SiLU feeding edge_out), where the
+            # dot would write another [B,N,J,H] tensor to HBM. Exact: one
+            # product per term, same f32->compute-dtype casts as nn.Dense.
+            kernel, _ = _DenseParams(
+                self.features, e.shape[-1], use_bias=False, name="w_e"
+            )()
+            kernel = kernel.astype(self.dtype)
+            e = e.astype(self.dtype)
+            for c in range(e.shape[-1]):
+                out = out + e[..., c : c + 1] * kernel[c]
         return out
 
 
@@ -181,9 +219,18 @@ class GCL(nn.Module):
             att = nn.sigmoid(nn.Dense(1, dtype=dt, name="att")(mij))
             mij = mij * att
         agg = _aggregate(mij, edge_mask, cfg)
-        # node model: residual MLP over [h, agg]
-        upd = nn.Dense(cfg.hidden_nf, dtype=dt, name="node_in")(
-            jnp.concatenate([h, agg], axis=-1)
+        # node model: residual MLP over [h, agg]. The concat-then-Dense is
+        # computed as two kernel-axis-split matmuls so the [B,N,2H] concat
+        # never hits HBM (algebraically identical; the f32 accumulation is
+        # split at the seam, within test tolerances).
+        kin, bin_ = _DenseParams(
+            cfg.hidden_nf, 2 * cfg.hidden_nf, name="node_in"
+        )()
+        kin = kin.astype(dt)
+        upd = (
+            h.astype(dt) @ kin[: cfg.hidden_nf]
+            + agg.astype(dt) @ kin[cfg.hidden_nf :]
+            + bin_.astype(dt)
         )
         upd = nn.silu(upd)
         upd = nn.Dense(cfg.hidden_nf, dtype=dt, name="node_out")(upd)

@@ -147,11 +147,16 @@ def _make_fused_kernel(n: int, k: int, hdim: int, n_layers: int,
             att = jax.nn.sigmoid(
                 mm(m, att_ref[l].astype(cdt)) + attb_ref[l]
             )                                                      # [KN, 1]
-            mmsg = m.astype(jnp.float32) * att * km_s              # [KN, H]
+            # message weighting + K-sum in compute dtype: the [KN, H]
+            # elementwise chain is the kernel's largest VPU load; bf16 is
+            # well inside the TPU tolerance (the f32 interpret path is
+            # unchanged since cdt is f32 there)
+            scale = (att * km_s).astype(cdt)                       # [KN, 1]
+            mmsg = m * scale                                       # [KN, H]
             agg = mmsg[0:n]
             for kk in range(1, k):
                 agg = agg + mmsg[kk * n:(kk + 1) * n]
-            agg = (agg / norm_factor).astype(cdt)                  # [N, H]
+            agg = agg * jnp.asarray(1.0 / norm_factor, cdt)        # [N, H]
 
             # ---------------- node MLP (residual)
             upd = _silu(
