@@ -356,3 +356,32 @@ def test_gnn_dynamics_trains_in_ddpm():
         jnp.sum(g ** 2) for g in jax.tree_util.tree_leaves(grads)
     )))
     assert gnorm > 0
+
+
+def test_dense_params_init_matches_nn_dense():
+    """_DenseParams must reproduce nn.Dense's param tree bit-for-bit (same
+    name -> same path, same lecun_normal kernel, zero bias) so the fused
+    matmul rewrites in GCL/PairFirstLayer keep old checkpoints loadable."""
+    import flax.linen as nn
+
+    from cmdgen_tpu.models.egnn import _DenseParams
+
+    class Old(nn.Module):
+        @nn.compact
+        def __call__(self, x):
+            return nn.Dense(7, name="node_in")(x)
+
+    class New(nn.Module):
+        @nn.compact
+        def __call__(self, x):
+            k, b = _DenseParams(7, x.shape[-1], name="node_in")()
+            return x @ k + b
+
+    x = jnp.ones((2, 5))
+    p_old = Old().init(jax.random.PRNGKey(3), x)
+    p_new = New().init(jax.random.PRNGKey(3), x)
+    chex = jax.tree_util.tree_structure
+    assert chex(p_old) == chex(p_new)
+    for a, b in zip(jax.tree_util.tree_leaves(p_old),
+                    jax.tree_util.tree_leaves(p_new)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
