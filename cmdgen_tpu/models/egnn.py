@@ -103,7 +103,12 @@ def build_neighbor_list(x: jnp.ndarray, edge_mask: jnp.ndarray, k: int,
     k = min(k, n)
     d2 = jnp.sum((x[..., :, None, :] - x[..., None, :, :]) ** 2, axis=-1)
     score = jnp.where(edge_mask > 0, -d2, -jnp.inf)
-    _, idx = jax.lax.top_k(score, k)
+    # exact top-k via the TPU PartialReduce path: recall_target=1.0 keeps
+    # the selected SET identical to lax.top_k (within-K ordering may
+    # differ, which the K-sum aggregation is invariant to) while avoiding
+    # the full [N] sort lax.top_k lowers to (~0.11 ms/step at flagship
+    # shapes)
+    _, idx = jax.lax.approx_max_k(score, k, recall_target=1.0)
     onehot = jax.nn.one_hot(idx, n, dtype=dtype)
     kmask = jnp.einsum("bikn,bin->bik", onehot, edge_mask.astype(dtype))
     return onehot, kmask

@@ -236,7 +236,8 @@ def egnn_forward_fused(
     # gathers lower to scalar loops on XLA:TPU (models/egnn.py lesson)
     d2 = jnp.sum((x[:, :, None, :] - x[:, None, :, :]) ** 2, axis=-1)
     score = jnp.where(edge_mask > 0, -d2, -jnp.inf)
-    _, idx = jax.lax.top_k(score, kk)
+    # exact top-k via the TPU PartialReduce path (see models/egnn.py)
+    _, idx = jax.lax.approx_max_k(score, kk, recall_target=1.0)
     onehot = jax.nn.one_hot(idx, n, dtype=jnp.float32)
     kmask = jnp.einsum("bikn,bin->bik", onehot, edge_mask.astype(jnp.float32))
     dist0k = jnp.einsum("bikn,bin->bik", onehot, d2)
