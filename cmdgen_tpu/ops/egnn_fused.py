@@ -109,7 +109,6 @@ def _make_fused_kernel(n: int, k: int, hdim: int, n_layers: int,
         lane = jax.lax.broadcasted_iota(jnp.int32, (kn, n), 1)
         col = col_ref[s]                         # [KN, 1]
         oh = (lane == col).astype(cdt)           # [KN, N] 0/1 gather matrix
-        oh32 = oh.astype(jnp.float32)
         km_s = kms_ref[s]                        # [KN, 1]
         d0_s = d0s_ref[s].astype(cdt)            # [KN, 1]
 
@@ -131,8 +130,13 @@ def _make_fused_kernel(n: int, k: int, hdim: int, n_layers: int,
             # ---------------- invariant message pass (GCL)
             wi = mm(h, wi_ref[l].astype(cdt)).astype(cdt)          # [N, H]
             wj = (mm(h, wj_ref[l].astype(cdt)) + wjb_ref[l]).astype(cdt)
-            xj = mm(oh32, x)                                       # [KN, 3]
-            xi = jnp.concatenate([x] * k, axis=0)                  # [KN, 3]
+            # the GCL only consumes radial, and radial is cast to cdt
+            # below — gather x in cdt (bf16 on TPU: ~4-8x the f32 MXU
+            # rate; exact in the f32 interpret path where cdt == f32).
+            # The coordinate pass keeps its f32 gather (xj_r): its diffs
+            # accumulate into x across layers and scan steps.
+            xj = mm(oh, x.astype(cdt))                             # [KN, 3]
+            xi = jnp.concatenate([x.astype(cdt)] * k, axis=0)      # [KN, 3]
             diff = xi - xj
             radial = jnp.sum(diff * diff, axis=-1, keepdims=True)  # [KN, 1]
             wj_g = mm(oh, wj).astype(cdt)                          # [KN, H]
