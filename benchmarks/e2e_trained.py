@@ -39,7 +39,7 @@ def load_diffphar(workdir, neighbor_k, clamp_x, ckpt_name="last"):
     payload, meta = ckptmod.load_checkpoint(
         pathlib.Path(workdir) / "ckpt", ckpt_name
     )
-    params = payload.get("ema_params") or payload["params"]
+    params = ckptmod.eval_params_from_payload(payload)
     cfg = cfgmod.from_dict(cfgmod.DiffPharConfig, meta["config"])
     ddpm = cfg.ddpm
     if clamp_x:

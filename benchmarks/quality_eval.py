@@ -304,7 +304,7 @@ def diffphar_quality(quick=False, epochs=None, n_complexes=None,
         if eval_only:
             from cmdgen_tpu.train import checkpoint as ckptmod
             payload, meta = ckptmod.load_checkpoint(root / "ckpt", ckpt_name)
-            params = payload.get("ema_params") or payload["params"]
+            params = ckptmod.eval_params_from_payload(payload)
             cfg = cfgmod.from_dict(cfgmod.DiffPharConfig, meta["config"])
             if eval_clamp_x:
                 cfg = dataclasses.replace(

@@ -129,7 +129,7 @@ def _load_diffphar_ckpt(ckpt_dir, which="best"):
     cfg = cfgmod.from_dict(cfgmod.DiffPharConfig, meta["config"])
     model = build_model(cfg)
     # sample with the EMA params when the run kept them (ema_decay > 0)
-    params = payload.get("ema_params") or payload["params"]
+    params = ckpt.eval_params_from_payload(payload)
     return model, params, cfg
 
 

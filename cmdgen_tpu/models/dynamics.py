@@ -174,6 +174,10 @@ def make_pallas_apply(cfg: DynamicsConfig, interpret: bool = False,
     )
     assert engine in ("fused", "auto"), f"unknown pallas engine: {engine}"
     assert cfg.egnn.neighbor_k is not None, "fused engine needs neighbor_k"
+    assert cfg.egnn.aggregation_method == "sum", (
+        "the fused kernel hard-codes sum aggregation (divide by "
+        "normalization_factor); use the flax path for 'mean'"
+    )
 
     def apply_fn(variables, xh_phar, xh_pocket, t, mask_phar, mask_pocket):
         p = variables["params"]

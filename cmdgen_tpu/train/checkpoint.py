@@ -86,3 +86,11 @@ def load_checkpoint(ckpt_dir, name: str = "last", target: Any = None):
     meta_path = ckpt_dir / f"{name}.json"
     meta = json.loads(meta_path.read_text()) if meta_path.exists() else {}
     return payload, meta
+
+
+def eval_params_from_payload(payload: dict):
+    """The evaluation-parameter policy for a restored payload: prefer the
+    EMA weights when the checkpoint carries them (the EMA run's validation
+    and sampling used them too), else the raw params. Single home for the
+    policy — cli/generation/benchmarks must all agree."""
+    return payload.get("ema_params") or payload["params"]

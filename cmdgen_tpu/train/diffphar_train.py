@@ -174,11 +174,20 @@ def train_diffphar(
                 f"resume_from optimizer state has {len(opt_leaves)} leaves, "
                 f"expected {len(ref_leaves)} (different optimizer config?)"
             )
+        if cfg.train.ema_decay > 0:
+            # seed the EMA from the restored params when the checkpoint
+            # predates EMA — never from the fresh random init the state
+            # was built with
+            ema = payload.get("ema_params", payload["params"])
+        else:
+            # non-EMA run: drop any restored EMA — train_step would never
+            # update it, yet eval/checkpointing prefer it when present
+            ema = None
         state = dataclasses.replace(
             state,
             params=payload["params"],
             opt_state=jax.tree_util.tree_unflatten(ref_def, opt_leaves),
-            ema_params=payload.get("ema_params", state.ema_params),
+            ema_params=ema,
             step=jnp.asarray(int(meta["step"]), dtype=jnp.int32),
         )
         start_step = int(meta["step"])
@@ -258,6 +267,17 @@ def train_diffphar(
                 for _ in range(-(-_nb0 // spc) + _cadence_splits(epoch)):
                     rng, _ = jax.random.split(rng)
                 step += _epoch_steps
+                continue
+            if not resident and step + _nb0 <= start_step:
+                # non-resident skip: replay the epoch's batch-order draw
+                # (iter_batches consumes exactly one shuffle) so the
+                # remaining epochs see the same data schedule a continuous
+                # run would; the jax stream advances once per epoch (the
+                # host-fed path's split count is shape-dependent — no
+                # bit-exact replay promise off the resident path)
+                np_rng.shuffle(np.arange(len(train_ds)))
+                rng, _ = jax.random.split(rng)
+                step += _nb0
                 continue
             if resident:
                 bs = cfg.train.batch_size

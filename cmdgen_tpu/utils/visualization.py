@@ -163,9 +163,17 @@ def render_chain_for_pocket(
         else:
             n_phar = 5
     n_phar = max(1, min(n_phar, n_phar_max))
-    phar, pocket_out, frames = sample_chain_given_pocket(
-        model, params, k_chain, pocket, jnp.full((1,), n_phar), n_phar_max,
-        keep_frames=keep_frames, timesteps=timesteps,
+    # jit the WHOLE chain sampler: eager dispatch runs op-by-op over the
+    # axon tunnel and launch latency dominates 5-70x (CLAUDE.md; the
+    # sibling sample_phars path jits the same way)
+    chain_jit = jax.jit(
+        lambda p, r, pkt, nn: sample_chain_given_pocket(
+            model, p, r, pkt, nn, n_phar_max,
+            keep_frames=keep_frames, timesteps=timesteps,
+        )
+    )
+    phar, pocket_out, frames = chain_jit(
+        params, k_chain, pocket, jnp.full((1,), n_phar)
     )
     # render in the sampler's output frame: shift pocket context along with
     # the chain (the CoM bookkeeping moves the pocket, not the chain)

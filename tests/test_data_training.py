@@ -163,6 +163,54 @@ def test_diffphar_training_resume(tiny_crossdocked, tmp_path):
     assert max(jax.tree_util.tree_leaves(d)) > 0
 
 
+def test_diffphar_resume_ema_seeding(tiny_crossdocked, tmp_path):
+    """EMA state across resume boundaries: a non-EMA checkpoint resumed
+    with ema_decay>0 seeds the EMA from the RESTORED params (never the
+    fresh random init), and an EMA checkpoint resumed with ema_decay=0
+    drops the stale EMA (train_step would never update it while eval
+    and checkpointing prefer it)."""
+    out, _ = tiny_crossdocked
+    cfg = cfgmod.full_atom_config()
+    base = dataclasses.replace(
+        cfg,
+        dynamics=dataclasses.replace(
+            cfg.dynamics,
+            egnn=EGNNConfig(hidden_nf=16, n_layers=1, inv_sublayers=1),
+        ),
+        ddpm=dataclasses.replace(cfg.ddpm, timesteps=5),
+    )
+    mk_train = lambda n, ema: dataclasses.replace(
+        base.train, batch_size=2, n_epochs=n, dp=1,
+        steps_per_call=2, resident_data="on", ckpt_epochs=1, ema_decay=ema,
+    )
+    # 1 epoch without EMA -> checkpoint has no ema_params
+    cfg1 = dataclasses.replace(base, train=mk_train(1, 0.0))
+    train_diffphar(cfg1, out, tmp_path / "ck")
+    from cmdgen_tpu.train.checkpoint import load_checkpoint
+
+    p1, _ = load_checkpoint(tmp_path / "ck", "last")
+    assert "ema_params" not in p1
+    # resume with EMA on: continue 1 more epoch; the saved EMA must sit
+    # near the restored params (seeded from them), not near random init
+    cfg2 = dataclasses.replace(base, train=mk_train(2, 0.9))
+    train_diffphar(cfg2, out, tmp_path / "ck", resume_from=tmp_path / "ck")
+    p2, _ = load_checkpoint(tmp_path / "ck", "last")
+    assert "ema_params" in p2
+    dist_restored = max(jax.tree_util.tree_leaves(jax.tree_util.tree_map(
+        lambda a, b: float(np.abs(np.asarray(a) - np.asarray(b)).max()),
+        p2["ema_params"], p1["params"],
+    )))
+    assert dist_restored < 1.0  # same basin: seeded + a few decayed steps
+    # resume the EMA checkpoint with EMA off: stale EMA must be dropped
+    cfg3 = dataclasses.replace(base, train=mk_train(3, 0.0))
+    state3, _ = train_diffphar(
+        cfg3, out, tmp_path / "ck", resume_from=tmp_path / "ck"
+    )
+    assert state3.ema_params is None
+    p3, _ = load_checkpoint(tmp_path / "ck", "last")
+    assert "ema_params" not in p3
+
+
 def test_beta_annealer_matches_reference_phases():
     betas = list(__import__("itertools").islice(
         gcpg_train.gen_beta(3e-4, 1e-2, 6, 18, 24), 30
