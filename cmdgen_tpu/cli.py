@@ -70,6 +70,12 @@ def _add_train_diffphar(sub):
         help="low-discrepancy timestep sampling across the batch "
              "(per-sample marginal unchanged; lower gradient variance)",
     )
+    p.add_argument(
+        "--fsdp", action="store_true",
+        help="ZeRO-3-style FSDP: shard params + optimizer state over the "
+             "dp mesh axis (GSPMD all-gathers at use, reduce-scatters "
+             "grads); see parallel/mesh.py:fsdp_sharding",
+    )
 
     def run(args):
         import dataclasses
@@ -90,6 +96,8 @@ def _add_train_diffphar(sub):
             tr = dataclasses.replace(tr, steps_per_call=args.steps_per_call)
         if args.ema_decay:
             tr = dataclasses.replace(tr, ema_decay=args.ema_decay)
+        if args.fsdp:
+            tr = dataclasses.replace(tr, fsdp=True)
         cfg = dataclasses.replace(cfg, train=tr)
         if args.stratified_t:
             cfg = dataclasses.replace(

@@ -43,6 +43,9 @@ class DiffPharTrainConfig:
     seed: int = 0
     dp: Optional[int] = None  # data-parallel size; None = all devices
     tp: int = 1
+    # ZeRO-3-style FSDP: shard params + optimizer state over dp (GSPMD
+    # all-gathers at use, reduce-scatters grads); False = replicate
+    fsdp: bool = False
     # update steps fused under one lax.scan per device call; >1 amortizes
     # the per-call dispatch latency (essential over the tunnelled TPU —
     # ~30-150 ms/call vs ~1 ms of device math; see train/state.py)

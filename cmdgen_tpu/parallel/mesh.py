@@ -71,3 +71,41 @@ def shard_params_tp(tree, mesh: Mesh):
     return jax.tree_util.tree_map(
         lambda a: jax.device_put(a, tp_sharding(a, mesh)), tree
     )
+
+
+def fsdp_sharding(a, mesh: Mesh) -> NamedSharding:
+    """ZeRO-3-style placement rule for one parameter / optimizer-moment
+    array: shard its largest dp-divisible axis across ``dp``, so each
+    device stores 1/dp of every large tensor. Under GSPMD XLA all-gathers
+    a parameter just before use and reduce-scatters its gradient — the
+    TPU-native expression of FSDP (no wrapper classes, no manual
+    collectives). Small or indivisible arrays stay replicated.
+
+    On a (dp, tp) mesh with tp > 1 the Megatron column split
+    (``tp_sharding``) is applied to the last axis first and dp shards the
+    largest remaining eligible axis — the combined FSDP x tp layout.
+    """
+    spec = [None] * a.ndim
+    tp = mesh.shape.get("tp", 1)
+    if (tp > 1 and a.ndim and a.shape[-1] % tp == 0
+            and a.shape[-1] >= 2 * tp):
+        spec[-1] = "tp"
+    dp = mesh.shape["dp"]
+    if dp > 1 and a.ndim:
+        # largest divisible unclaimed axis => fewest, widest gathers
+        for ax in sorted(range(a.ndim), key=lambda i: -a.shape[i]):
+            if (spec[ax] is None and a.shape[ax] % dp == 0
+                    and a.shape[ax] >= 2 * dp):
+                spec[ax] = "dp"
+                break
+    if any(s is not None for s in spec):
+        return NamedSharding(mesh, P(*spec))
+    return replicated(mesh)
+
+
+def shard_params_fsdp(tree, mesh: Mesh):
+    """Place a parameter/optimizer pytree with FSDP sharding over ``dp``
+    (see fsdp_sharding) — replicated when dp == 1."""
+    return jax.tree_util.tree_map(
+        lambda a: jax.device_put(a, fsdp_sharding(a, mesh)), tree
+    )

@@ -193,7 +193,13 @@ def train_diffphar(
         start_step = int(meta["step"])
 
     mesh = pmesh.make_mesh(dp=cfg.train.dp, tp=cfg.train.tp)
-    state = pmesh.replicate(state, mesh)
+    if cfg.train.fsdp:
+        # ZeRO-3: params + optimizer moments sharded over dp; the scalar
+        # step (and any indivisible leaves) stay replicated via the
+        # fsdp_sharding fallback
+        state = pmesh.shard_params_fsdp(state, mesh)
+    else:
+        state = pmesh.replicate(state, mesh)
     step_fn = jax.jit(train_step, donate_argnums=(0,))
     spc = max(1, cfg.train.steps_per_call)
     n_mesh_devices = int(np.prod(list(mesh.shape.values())))

@@ -255,3 +255,75 @@ def test_resident_multistep_matches_host_multistep():
     np.testing.assert_allclose(
         np.asarray(m1["loss"]), np.asarray(m2["loss"]), rtol=1e-6
     )
+
+
+def test_fsdp_step_matches_single_device():
+    """dp=8 FSDP (ZeRO-3): params + optimizer moments sharded over dp via
+    pmesh.shard_params_fsdp; GSPMD all-gathers each parameter at use and
+    reduce-scatters its gradient. The step must equal the single-device
+    step, and the rule must actually shard something at these shapes."""
+    assert len(jax.devices()) >= 8
+    model, params, phar, pocket = _setup(b=8)
+    optimizer = tstate.reference_optimizer(1e-3)
+    train_step = tstate.make_diffusion_train_step(model, optimizer, clip_grad=True)
+    rng = jax.random.PRNGKey(3)
+
+    state1 = tstate.init_state(params, optimizer)
+    state1, metrics1 = jax.jit(train_step)(state1, rng, phar, pocket)
+
+    m = pmesh.make_mesh(dp=8, tp=1)
+    shardings = [
+        pmesh.fsdp_sharding(a, m) for a in jax.tree_util.tree_leaves(params)
+    ]
+    assert any(s.spec != pmesh.P() for s in shardings)
+    state_f = tstate.init_state(params, optimizer)
+    state_f = pmesh.shard_params_fsdp(state_f, m)
+    phar_f = pmesh.shard_batch(phar, m)
+    pocket_f = pmesh.shard_batch(pocket, m)
+    with m:
+        state_f, metrics_f = jax.jit(train_step)(state_f, rng, phar_f, pocket_f)
+
+    np.testing.assert_allclose(
+        float(metrics1["loss"]), float(metrics_f["loss"]), rtol=1e-4
+    )
+    for a, b_ in zip(
+        jax.tree_util.tree_leaves(state1.params),
+        jax.tree_util.tree_leaves(state_f.params),
+    ):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_), atol=1e-5)
+
+
+def test_fsdp_tp_step_matches_single_device():
+    """dp=4 x tp=2 with the combined FSDP x Megatron layout: last axis on
+    tp where eligible, largest remaining axis on dp."""
+    assert len(jax.devices()) >= 8
+    model, params, phar, pocket = _setup(b=8)
+    optimizer = tstate.reference_optimizer(1e-3)
+    train_step = tstate.make_diffusion_train_step(model, optimizer, clip_grad=True)
+    rng = jax.random.PRNGKey(3)
+
+    state1 = tstate.init_state(params, optimizer)
+    state1, metrics1 = jax.jit(train_step)(state1, rng, phar, pocket)
+
+    m = pmesh.make_mesh(dp=4, tp=2)
+    # at least one kernel must carry BOTH axes
+    specs = [
+        pmesh.fsdp_sharding(a, m).spec
+        for a in jax.tree_util.tree_leaves(params)
+    ]
+    assert any("dp" in s and "tp" in s for s in specs)
+    state_f = tstate.init_state(params, optimizer)
+    state_f = pmesh.shard_params_fsdp(state_f, m)
+    phar_f = pmesh.shard_batch(phar, m)
+    pocket_f = pmesh.shard_batch(pocket, m)
+    with m:
+        state_f, metrics_f = jax.jit(train_step)(state_f, rng, phar_f, pocket_f)
+
+    np.testing.assert_allclose(
+        float(metrics1["loss"]), float(metrics_f["loss"]), rtol=1e-4
+    )
+    for a, b_ in zip(
+        jax.tree_util.tree_leaves(state1.params),
+        jax.tree_util.tree_leaves(state_f.params),
+    ):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_), atol=1e-5)
