@@ -117,6 +117,25 @@ class ConditionalDDPM:
         params["params"]["gamma_net"] = gp
         return params
 
+    def check_norm_values(self, params, num_stdevs: int = 8):
+        """Reference guard en_diffusion.py:64-77: with discretized-h
+        likelihoods, ``num_stdevs`` sigmas of noise at t=0 must stay below
+        one normalized one-hot unit, else p(h|z0) rounds across categories
+        and training silently degrades. Raises ValueError when norm_h is
+        too large for the schedule's gamma_0. Skipped for the learned
+        schedule, as the reference does (en_diffusion.py:229-230) — a
+        random-init GammaNetwork's gamma_0 is meaningless."""
+        if self.gamma_net is not None:
+            return
+        sigma_0 = float(sch.sigma(self._gamma0(params)))
+        if sigma_0 * self.cfg.norm_h * num_stdevs > 1.0:
+            raise ValueError(
+                f"norm_h={self.cfg.norm_h} too large for this noise "
+                f"schedule: {num_stdevs}*sigma_0*norm_h = "
+                f"{sigma_0 * self.cfg.norm_h * num_stdevs:.3f} > 1 — "
+                "lower norm_h or sharpen gamma_0 (en_diffusion.py:64-77)"
+            )
+
     # ---------------------------------------------------------------- utils
 
     def normalize(self, pc: PointCloud) -> PointCloud:

@@ -129,6 +129,7 @@ class JointDDPM:
     _gamma_t_norm = ConditionalDDPM._gamma_t_norm
     _gamma0 = ConditionalDDPM._gamma0
     _gammaT = ConditionalDDPM._gammaT
+    check_norm_values = ConditionalDDPM.check_norm_values
 
     # ---------------------------------------------------------------- utils
 

@@ -160,6 +160,9 @@ def train_diffphar(
     rng, k_init = jax.random.split(rng)
     first = train_ds.padded_batch(list(range(min(cfg.train.batch_size, len(train_ds)))))
     params = init_params(model, k_init, first)
+    # reference init guard (en_diffusion.py:64-77): the noise floor at t=0
+    # must not straddle one normalized one-hot unit
+    model.check_norm_values(params)
     state = tstate.init_state(params, optimizer, ema=cfg.train.ema_decay > 0)
     start_step = 0
     if resume_from is not None:

@@ -316,3 +316,51 @@ def test_clamp_x_bounds_sampled_coords():
         params, jax.random.PRNGKey(2), pocket, nn_, n_p
     )
     assert not np.allclose(np.asarray(out_b.x), np.asarray(out_c.x))
+
+
+def test_check_norm_values_guard(model_and_params):
+    """Reference init guard (en_diffusion.py:64-77): 8 sigmas of t=0 noise
+    must stay below one normalized one-hot unit. Default norm_h passes;
+    an absurd norm_h raises."""
+    import dataclasses
+
+    model, params, _, _ = model_and_params
+    model.check_norm_values(params)  # flagship normalization: fine
+    bad = ConditionalDDPM(
+        dataclasses.replace(model.cfg, norm_h=1e4), model.dynamics,
+        model.size_prior,
+    )
+    with pytest.raises(ValueError, match="norm_h"):
+        bad.check_norm_values(params)
+
+
+def test_dynamics_nan_guard():
+    """The denoiser zeroes non-finite velocities (reference
+    dynamics.py:129-131): pathological coordinates (1e20 -> inf/nan pair
+    math) must still produce finite eps outputs."""
+    rng = np.random.RandomState(0)
+    dyn = EGNNDynamics(
+        DynamicsConfig(
+            phar_nf=PHAR_NF, residue_nf=POCKET_NF, joint_nf=8,
+            edge_cutoff=None, update_pocket_coords=False,
+            egnn=EGNNConfig(hidden_nf=16, n_layers=1, inv_sublayers=1),
+        )
+    )
+    b = 2
+    mp = mask_from_sizes(jnp.full((b,), NP_MAX), NP_MAX)
+    mq = mask_from_sizes(jnp.full((b,), NQ_MAX), NQ_MAX)
+    xh_p = jnp.concatenate(
+        [jnp.asarray(rng.randn(b, NP_MAX, 3) * 1e20, jnp.float32),
+         jax.nn.one_hot(jnp.zeros((b, NP_MAX), jnp.int32), PHAR_NF)],
+        axis=-1,
+    )
+    xh_q = jnp.concatenate(
+        [jnp.asarray(rng.randn(b, NQ_MAX, 3) * 1e20, jnp.float32),
+         jax.nn.one_hot(jnp.zeros((b, NQ_MAX), jnp.int32), POCKET_NF)],
+        axis=-1,
+    )
+    params = dyn.init(
+        jax.random.PRNGKey(0), xh_p, xh_q, jnp.zeros((b, 1)), mp, mq
+    )
+    eps_p, _ = dyn.apply(params, xh_p, xh_q, jnp.full((b, 1), 0.5), mp, mq)
+    assert np.isfinite(np.asarray(eps_p[..., :3])).all()
