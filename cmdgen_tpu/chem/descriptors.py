@@ -24,8 +24,10 @@ conditions [MW, logP, QED, SAS, HBA, HBD, RotBonds]
 Validation (tests/test_descriptors.py golden set, 33 molecules with
 published PubChem/Cactvs values): MW exact (<0.05); TPSA exact (<0.15)
 except fused-aromatic-N systems where aromaticity perception differs from
-RDKit (caffeine +3.4 worst case); logP max |dev| < 2.0, mean |dev| < 0.75
-vs XLogP3.
+RDKit (caffeine +3.4 worst case); logP max |dev| < 2.0, mean |dev| ~0.51
+vs XLogP3 (tested < 0.6). The logP tail (hexane -1.3, glycine +1.8) is
+XLogP3-vs-Crippen *model* divergence, not implementation error — RDKit's
+own Crippen logP shows the same gaps (hexane ~2.7 vs XLogP3 3.9).
 """
 from __future__ import annotations
 

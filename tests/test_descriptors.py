@@ -156,7 +156,9 @@ def test_golden_logp():
         got = d.crippen_logp(smi)
         devs.append(abs(got - lp))
         assert abs(got - lp) < 2.0, (name, got, lp)
-    assert sum(devs) / len(devs) < 0.75, sum(devs) / len(devs)
+    # measured 0.51 on this set; the tail (hexane, glycine) is
+    # XLogP3-vs-Crippen model divergence, not implementation error
+    assert sum(devs) / len(devs) < 0.6, sum(devs) / len(devs)
 
 
 def test_golden_qed_sa_ranges():
