@@ -61,7 +61,9 @@ def main():
     if use_pallas and use_dense:
         raise SystemExit("BENCH_PALLAS needs the neighbor list; unset BENCH_DENSE")
     spp = int(os.environ.get("BENCH_SPP", "1"))
-    apply_fn = (make_pallas_apply(dyn_cfg, samples_per_program=spp)
+    stack = os.environ.get("BENCH_STACK", "0") == "1"
+    apply_fn = (make_pallas_apply(dyn_cfg, samples_per_program=spp,
+                                  stacked=stack)
                 if use_pallas else None)
     model = ConditionalDDPM(cfg.ddpm, dynamics, apply_fn=apply_fn)
 
