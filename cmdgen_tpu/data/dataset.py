@@ -91,15 +91,13 @@ class DiffPharDataset:
         return self.padded_batch(list(range(len(self))))
 
     def nbytes(self) -> int:
-        """Size of ``stacked_arrays()`` computed arithmetically — the
-        resident-mode guard must not itself materialize the full padded
-        corpus on host just to decide the corpus is too big for HBM."""
-        fp = self.phar_one_hot[0].shape[1]
-        fq = self.pocket_one_hot[0].shape[1]
-        per_item = (
-            self.n_phar_max * (3 + fp + 1) + self.n_pocket_max * (3 + fq + 1)
-        )
-        return len(self) * per_item * 4  # float32 throughout
+        """Size of ``stacked_arrays()`` without materializing it — the
+        resident-mode guard must not build the full padded corpus on host
+        just to decide it is too big for HBM. One padded item carries the
+        exact per-item schema (arrays, shapes, dtypes), so the total stays
+        in sync with padded_batch by construction."""
+        one = self.padded_batch([0])
+        return len(self) * sum(v.nbytes for v in one.values())
 
     def iter_batches(
         self, batch_size: int, rng: np.random.RandomState, shuffle=True,

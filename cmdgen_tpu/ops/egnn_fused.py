@@ -265,9 +265,9 @@ def _make_stacked_kernel(n: int, k: int, hdim: int, n_layers: int,
         def mm(a, b):
             return jnp.dot(a, b, preferred_element_type=jnp.float32)
 
-        def gather_all(mats, v, rows):
-            """Per-sample gather of stacked [SN, D] v by mats[s] [rows, n]
-            -> [SB*rows, D]."""
+        def gather_all(mats, v):
+            """Per-sample gather of stacked [SN, D] v by mats[s] [·, n]
+            -> [SB*·, D]."""
             return jnp.concatenate(
                 [mm(mats[s], v[s * n:(s + 1) * n]) for s in range(sb)],
                 axis=0,
@@ -288,11 +288,11 @@ def _make_stacked_kernel(n: int, k: int, hdim: int, n_layers: int,
             # ------------- invariant message pass, all samples stacked
             wi = mm(h, wi_ref[l].astype(cdt)).astype(cdt)          # [SN, H]
             wj = (mm(h, wj_ref[l].astype(cdt)) + wjb_ref[l]).astype(cdt)
-            xj = gather_all(ohs, x.astype(cdt), kn)                # [SKN, 3]
+            xj = gather_all(ohs, x.astype(cdt))                # [SKN, 3]
             xi = rep_k(x.astype(cdt), n)
             diff = xi - xj
             radial = jnp.sum(diff * diff, axis=-1, keepdims=True)
-            wj_g = gather_all(ohs, wj, kn).astype(cdt)             # [SKN, H]
+            wj_g = gather_all(ohs, wj).astype(cdt)             # [SKN, H]
             pre = (
                 rep_k(wi, n) + wj_g
                 + radial.astype(cdt) * we_ref[l, 0:1, :].astype(cdt)

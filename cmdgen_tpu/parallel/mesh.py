@@ -49,6 +49,14 @@ def replicate(tree, mesh: Mesh):
     return jax.tree_util.tree_map(lambda a: jax.device_put(a, s), tree)
 
 
+def _tp_eligible(a, tp: int) -> bool:
+    """One home for the Megatron column-split eligibility test, shared by
+    tp_sharding and fsdp_sharding so the two layouts cannot drift."""
+    return bool(
+        tp > 1 and a.shape and a.shape[-1] % tp == 0 and a.shape[-1] >= 2 * tp
+    )
+
+
 def tp_sharding(a, mesh: Mesh) -> NamedSharding:
     """Tensor-parallel placement rule for one parameter array: shard the
     output (last) dimension of weight kernels — and the matching 1-D bias
@@ -58,7 +66,7 @@ def tp_sharding(a, mesh: Mesh) -> NamedSharding:
     EGNN/transformer Dense layers, the standard Megatron-style column
     split."""
     tp = mesh.shape["tp"]
-    if tp > 1 and a.shape and a.shape[-1] % tp == 0 and a.shape[-1] >= 2 * tp:
+    if _tp_eligible(a, tp):
         if a.ndim >= 2:
             return NamedSharding(mesh, P(*([None] * (a.ndim - 1)), "tp"))
         return NamedSharding(mesh, P("tp"))
@@ -86,9 +94,7 @@ def fsdp_sharding(a, mesh: Mesh) -> NamedSharding:
     largest remaining eligible axis — the combined FSDP x tp layout.
     """
     spec = [None] * a.ndim
-    tp = mesh.shape.get("tp", 1)
-    if (tp > 1 and a.ndim and a.shape[-1] % tp == 0
-            and a.shape[-1] >= 2 * tp):
+    if _tp_eligible(a, mesh.shape.get("tp", 1)):
         spec[-1] = "tp"
     dp = mesh.shape["dp"]
     if dp > 1 and a.ndim:

@@ -29,6 +29,7 @@ def save_checkpoint(
     config: Optional[Dict] = None,
     monitor_value: Optional[float] = None,
     keep_best: bool = True,
+    epoch: Optional[int] = None,
 ):
     """Save ``last``; also refresh ``best`` when monitor_value improves
     (lower is better, matching loss/val monitoring)."""
@@ -42,6 +43,11 @@ def save_checkpoint(
             shutil.rmtree(path)
         cp.save(path.absolute(), payload)
         meta = {"step": int(step)}
+        if epoch is not None:
+            # epochs completed: the unambiguous resume coordinate (the
+            # step<->epoch ratio differs between the resident and host-fed
+            # paths, so step-derived epoch skipping can drift)
+            meta["epoch"] = int(epoch)
         if monitor_value is not None:
             meta["monitor"] = float(monitor_value)
         if config is not None:

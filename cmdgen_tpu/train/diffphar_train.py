@@ -194,6 +194,10 @@ def train_diffphar(
             step=jnp.asarray(int(meta["step"]), dtype=jnp.int32),
         )
         start_step = int(meta["step"])
+        # epochs completed, when recorded (unambiguous across the
+        # resident/host-fed step-accounting difference); older
+        # checkpoints fall back to step-derived skipping
+        start_epoch = meta.get("epoch")
 
     mesh = pmesh.make_mesh(dp=cfg.train.dp, tp=cfg.train.tp)
     if cfg.train.fsdp:
@@ -269,7 +273,11 @@ def train_diffphar(
 
     with mesh:
         for epoch in range(cfg.train.n_epochs):
-            if resident and step + _epoch_steps <= start_step:
+            _covered = (
+                epoch < start_epoch if start_epoch is not None
+                else step + (_epoch_steps if resident else _nb0) <= start_step
+            ) if resume_from is not None else False
+            if resident and _covered:
                 # epoch fully covered by the resumed checkpoint: consume
                 # the exact RNG draws it made, run nothing on device
                 np_rng.permutation(len(train_ds))
@@ -277,7 +285,7 @@ def train_diffphar(
                     rng, _ = jax.random.split(rng)
                 step += _epoch_steps
                 continue
-            if not resident and step + _nb0 <= start_step:
+            if not resident and _covered:
                 # non-resident skip: replay the epoch's batch-order draw
                 # (iter_batches consumes exactly one shuffle) so the
                 # remaining epochs see the same data schedule a continuous
@@ -387,7 +395,7 @@ def train_diffphar(
                 ckpt.save_checkpoint(
                     out_dir, payload,
                     step=step, config=cfgmod.to_dict(cfg),
-                    monitor_value=val_loss,
+                    monitor_value=val_loss, epoch=epoch + 1,
                 )
             if max_steps and step >= max_steps:
                 break
