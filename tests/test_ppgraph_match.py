@@ -109,3 +109,25 @@ def test_get_match_scores_pool():
     scores = get_match_scores([g, g], ["CCOc1ccccc1", "not_a_smiles"], n_workers=2)
     assert scores[0] >= 0.0
     assert scores[1] == -1.0
+
+
+def test_native_bond_dist_matches_python_fallback():
+    """csrc/chemops.cpp must agree exactly with the pure-Python BFS on the
+    all-pairs weighted bond-path matrix (incl. disconnected pairs = 100).
+    Skipped only if the toolchain can't build the library."""
+    from cmdgen_tpu.chem import native
+
+    lib = native.get_lib()
+    if lib is None:
+        pytest.skip("native chemops unavailable (no toolchain)")
+    for smi in ["CCCC", "C=CC", "c1ccccc1", "CC(=O)Oc1ccccc1C(=O)O",
+                "CCO.CCN"]:  # last: disconnected components
+        m = mol_from_smiles(smi)
+        got = native.all_pairs_bond_dist(m)
+        native._LIB = None  # force the Python BFS fallback
+        native._TRIED = True
+        try:
+            want = native.all_pairs_bond_dist(m)
+        finally:
+            native._LIB = lib  # restore for other tests
+        np.testing.assert_allclose(got, want, atol=1e-5), smi
