@@ -195,7 +195,13 @@ class GCPG(nn.Module):
         shifted = logits[:, :-1, :]
         labels = targets[:, 1:]
         logp = jax.nn.log_softmax(shifted, axis=-1)
-        nll = -jnp.take_along_axis(logp, labels[..., None], axis=-1)[..., 0]
+        # label pick as a one-hot contraction: integer gathers lower to
+        # scalar loops on XLA:TPU (models/egnn.py gather_nodes lesson);
+        # the one-hot product fuses into the log_softmax consumer
+        nll = -jnp.sum(
+            logp * jax.nn.one_hot(labels, logp.shape[-1], dtype=logp.dtype),
+            axis=-1,
+        )
         not_pad = (labels != self.pad_value).astype(jnp.float32)
         lm_loss = jnp.sum(nll * not_pad) / jnp.maximum(jnp.sum(not_pad), 1.0)
 
