@@ -1,0 +1,338 @@
+"""Weight-transplant forward parity vs the reference EGNN.
+
+The strongest correctness check available in this image: the reference's
+``equivariant_diffusion/egnn_new.py`` imports only ``torch`` + ``math`` and
+therefore runs under the CPU torch present here. We instantiate the
+reference ``EGNN`` (egnn_new.py:159-208), transplant its randomly
+initialized weights into :class:`cmdgen_tpu.models.egnn.EGNN` (the
+``_DenseParams`` checkpoint layout makes the mapping mechanical), run both
+on identical inputs — a ragged batch flattened to the reference's edge-list
+form, padded+masked for ours — and assert h and x agree to f32 tolerance.
+
+Covered: dense and fixed-K neighbor-list engines; attention/tanh on and
+off; sin_embedding; 'sum' and 'mean' aggregation; frozen-coordinate
+update_coords_mask incl. the static ``update_rows`` slice; the plain GNN
+fallback (egnn_new.py:211-243). This converts every "semantics preserved
+exactly" docstring claim in models/egnn.py into a checked fact.
+"""
+from __future__ import annotations
+
+import importlib.util
+import pathlib
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+
+from cmdgen_tpu.models.egnn import EGNN, EGNNConfig, GNN  # noqa: E402
+
+_REF = pathlib.Path("/root/reference/DiffPhar/equivariant_diffusion/egnn_new.py")
+
+
+def _load_reference_egnn():
+    if not _REF.exists():
+        pytest.skip("reference tree not present")
+    spec = importlib.util.spec_from_file_location("ref_egnn_new", _REF)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+@pytest.fixture(scope="module")
+def ref():
+    return _load_reference_egnn()
+
+
+# ---------------------------------------------------------------- fixtures
+
+B, N = 3, 8
+SIZES = [5, 8, 4]
+IN_NF, HID, OUT_NF = 10, 32, 10
+
+
+def _batch(rng: np.random.Generator, cutoff: float | None):
+    """Random padded batch + its flat reference-form twin.
+
+    Returns (h_pad [B,N,IN], x_pad [B,N,3], node_mask [B,N],
+    edge_mask [B,N,N], flat dict with h, x, edge_index rows/cols).
+    """
+    h = rng.standard_normal((B, N, IN_NF)).astype(np.float32)
+    x = (2.0 * rng.standard_normal((B, N, 3))).astype(np.float32)
+    node_mask = np.zeros((B, N), np.float32)
+    for b, s in enumerate(SIZES):
+        node_mask[b, :s] = 1.0
+        h[b, s:] = 0.0
+        x[b, s:] = 0.0
+    edge_mask = node_mask[:, :, None] * node_mask[:, None, :]
+    if cutoff is not None:
+        d = np.linalg.norm(x[:, :, None, :] - x[:, None, :, :], axis=-1)
+        # keep self-edges, like the reference adjacency (dynamics.py:141-147)
+        within = (d <= cutoff) | np.eye(N, dtype=bool)[None]
+        edge_mask = edge_mask * within.astype(np.float32)
+
+    # flat twin: concatenate valid nodes, edge list from the same adjacency
+    offs, h_flat, x_flat = [], [], []
+    total = 0
+    for b, s in enumerate(SIZES):
+        offs.append(total)
+        h_flat.append(h[b, :s])
+        x_flat.append(x[b, :s])
+        total += s
+    rows, cols = [], []
+    for b, s in enumerate(SIZES):
+        for i in range(s):
+            for j in range(s):
+                if edge_mask[b, i, j] > 0:
+                    rows.append(offs[b] + i)
+                    cols.append(offs[b] + j)
+    flat = dict(
+        h=torch.tensor(np.concatenate(h_flat)),
+        x=torch.tensor(np.concatenate(x_flat)),
+        rows=torch.tensor(rows, dtype=torch.long),
+        cols=torch.tensor(cols, dtype=torch.long),
+        offs=offs,
+    )
+    return h, x, node_mask, edge_mask, flat
+
+
+def _unpad(arr, sizes=SIZES):
+    return np.concatenate([np.asarray(arr[b, :s]) for b, s in enumerate(sizes)])
+
+
+# ------------------------------------------------------- weight transplant
+
+
+def _lin(torch_lin):
+    """nn.Linear -> (kernel [in,out], bias|None) in flax convention."""
+    k = jnp.asarray(torch_lin.weight.detach().numpy().T)
+    b = (
+        jnp.asarray(torch_lin.bias.detach().numpy())
+        if torch_lin.bias is not None
+        else None
+    )
+    return k, b
+
+
+def _split_pair_first(torch_lin, hid: int, has_e: bool):
+    """Reference pair-MLP first Linear over [h_i ‖ h_j ‖ e] (egnn_new.py:15-16,
+    78-79) -> our concat-free w_i/w_j/w_e split (models/egnn.py PairFirstLayer).
+    Row order follows edge_model's cat([source, target, edge_attr]) where
+    source = h[row] = the receiving node (egnn_new.py:31-35, 47-50)."""
+    k, b = _lin(torch_lin)
+    out = {
+        "w_i": {"kernel": k[:hid]},
+        "w_j": {"kernel": k[hid : 2 * hid], "bias": b},
+    }
+    if has_e:
+        out["w_e"] = {"kernel": k[2 * hid :]}
+    return out
+
+
+def _gcl_params(tgcl, hid: int, attention: bool, has_e: bool = True):
+    ek, eb = _lin(tgcl.edge_mlp[2])
+    nk_in, nb_in = _lin(tgcl.node_mlp[0])
+    nk_out, nb_out = _lin(tgcl.node_mlp[2])
+    p = {
+        "edge_in": _split_pair_first(tgcl.edge_mlp[0], hid, has_e),
+        "edge_out": {"kernel": ek, "bias": eb},
+        "node_in": {"kernel": nk_in, "bias": nb_in},
+        "node_out": {"kernel": nk_out, "bias": nb_out},
+    }
+    if attention:
+        ak, ab = _lin(tgcl.att_mlp[0])
+        p["att"] = {"kernel": ak, "bias": ab}
+    return p
+
+
+def _transplant(tmodel, n_layers: int, inv_sublayers: int, attention: bool):
+    """Reference EGNN state -> flax param tree for models/egnn.py:EGNN."""
+    hid = tmodel.hidden_nf
+    emb_k, emb_b = _lin(tmodel.embedding)
+    out_k, out_b = _lin(tmodel.embedding_out)
+    params = {
+        "embedding": {"kernel": emb_k, "bias": emb_b},
+        "embedding_out": {"kernel": out_k, "bias": out_b},
+    }
+    for i in range(n_layers):
+        blk = tmodel._modules[f"e_block_{i}"]
+        bp = {}
+        for j in range(inv_sublayers):
+            bp[f"gcl_{j}"] = _gcl_params(
+                blk._modules[f"gcl_{j}"], hid, attention
+            )
+        eq = blk._modules["gcl_equiv"]
+        gk, _ = _lin(eq.coord_mlp[4])
+        mk, mb = _lin(eq.coord_mlp[2])
+        bp["coord_update"] = {
+            "coord_in": _split_pair_first(eq.coord_mlp[0], hid, True),
+            "coord_mid": {"kernel": mk, "bias": mb},
+            "coord_gate": {"kernel": gk},
+        }
+        params[f"e_block_{i}"] = bp
+    return {"params": params}
+
+
+# ------------------------------------------------------------------ tests
+
+
+@pytest.mark.parametrize(
+    "attention,tanh,sin_embedding,aggregation,cutoff",
+    [
+        (True, True, False, "sum", None),     # flagship config knobs
+        (True, True, False, "sum", 4.0),      # nonuniform cutoff adjacency
+        (False, False, False, "sum", None),
+        (True, False, True, "sum", None),     # sin_embedding path
+        (True, True, False, "mean", 4.0),     # mean aggregation
+    ],
+)
+def test_egnn_forward_matches_reference(
+    ref, attention, tanh, sin_embedding, aggregation, cutoff
+):
+    torch.manual_seed(0)
+    n_layers, inv_sublayers = 2, 2
+    tmodel = ref.EGNN(
+        in_node_nf=IN_NF,
+        in_edge_nf=1,
+        hidden_nf=HID,
+        n_layers=n_layers,
+        inv_sublayers=inv_sublayers,
+        attention=attention,
+        tanh=tanh,
+        sin_embedding=sin_embedding,
+        normalization_factor=100.0,
+        aggregation_method=aggregation,
+        out_node_nf=OUT_NF,
+        coords_range=15.0,
+        norm_constant=1.0,
+    )
+    rng = np.random.default_rng(1)
+    h, x, node_mask, edge_mask, flat = _batch(rng, cutoff)
+
+    with torch.no_grad():
+        h_ref, x_ref = tmodel(
+            flat["h"], flat["x"], (flat["rows"], flat["cols"])
+        )
+    h_ref, x_ref = h_ref.numpy(), x_ref.numpy()
+
+    cfg = EGNNConfig(
+        hidden_nf=HID,
+        n_layers=n_layers,
+        inv_sublayers=inv_sublayers,
+        attention=attention,
+        tanh=tanh,
+        sin_embedding=sin_embedding,
+        normalization_factor=100.0,
+        aggregation_method=aggregation,
+    )
+    variables = _transplant(tmodel, n_layers, inv_sublayers, attention)
+
+    # dense [N,N] engine
+    model = EGNN(cfg, out_node_nf=OUT_NF)
+    h_out, x_out = model.apply(
+        variables, jnp.asarray(h), jnp.asarray(x), jnp.asarray(edge_mask),
+        jnp.asarray(node_mask),
+    )
+    np.testing.assert_allclose(_unpad(h_out), h_ref, rtol=1e-5, atol=5e-5)
+    np.testing.assert_allclose(_unpad(x_out), x_ref, rtol=1e-5, atol=5e-5)
+
+    # fixed-K neighbor-list engine (K = N bounds every row => exact)
+    nb_model = EGNN(
+        EGNNConfig(**{**cfg.__dict__, "neighbor_k": N}), out_node_nf=OUT_NF
+    )
+    h_nb, x_nb = nb_model.apply(
+        variables, jnp.asarray(h), jnp.asarray(x), jnp.asarray(edge_mask),
+        jnp.asarray(node_mask),
+    )
+    np.testing.assert_allclose(_unpad(h_nb), h_ref, rtol=1e-5, atol=5e-5)
+    np.testing.assert_allclose(_unpad(x_nb), x_ref, rtol=1e-5, atol=5e-5)
+
+
+def test_egnn_frozen_coords_matches_reference(ref):
+    """update_coords_mask parity, incl. the static update_rows slice: the
+    first 3 nodes of every sample are movable (the conditional model's
+    pharmacophore block), the rest frozen (dynamics.py:105-107)."""
+    torch.manual_seed(2)
+    n_layers, inv_sublayers, movable = 2, 2, 3
+    tmodel = ref.EGNN(
+        in_node_nf=IN_NF, in_edge_nf=1, hidden_nf=HID, n_layers=n_layers,
+        inv_sublayers=inv_sublayers, attention=True, tanh=True,
+        normalization_factor=100.0, aggregation_method="sum",
+        out_node_nf=OUT_NF, coords_range=15.0, norm_constant=1.0,
+    )
+    rng = np.random.default_rng(3)
+    h, x, node_mask, edge_mask, flat = _batch(rng, None)
+    ucm = np.zeros((B, N), np.float32)
+    ucm[:, :movable] = 1.0
+    ucm *= node_mask
+    ucm_flat = torch.tensor(_unpad(ucm)[:, None])
+
+    with torch.no_grad():
+        h_ref, x_ref = tmodel(
+            flat["h"], flat["x"], (flat["rows"], flat["cols"]),
+            update_coords_mask=ucm_flat,
+        )
+    h_ref, x_ref = h_ref.numpy(), x_ref.numpy()
+
+    cfg = EGNNConfig(
+        hidden_nf=HID, n_layers=n_layers, inv_sublayers=inv_sublayers,
+        attention=True, tanh=True, normalization_factor=100.0,
+    )
+    variables = _transplant(tmodel, n_layers, inv_sublayers, True)
+    for neighbor_k in (None, N):
+        model = EGNN(
+            EGNNConfig(**{**cfg.__dict__, "neighbor_k": neighbor_k}),
+            out_node_nf=OUT_NF,
+        )
+        for update_rows in (None, movable):
+            h_out, x_out = model.apply(
+                variables, jnp.asarray(h), jnp.asarray(x),
+                jnp.asarray(edge_mask), jnp.asarray(node_mask),
+                update_coords_mask=jnp.asarray(ucm),
+                update_rows=update_rows,
+            )
+            np.testing.assert_allclose(
+                _unpad(h_out), h_ref, rtol=1e-5, atol=5e-5
+            )
+            np.testing.assert_allclose(
+                _unpad(x_out), x_ref, rtol=1e-5, atol=5e-5
+            )
+
+
+def test_gnn_fallback_matches_reference(ref):
+    """Plain-GNN fallback (egnn_new.py:211-243): embed -> GCLs with no edge
+    features -> out Dense."""
+    torch.manual_seed(4)
+    n_layers = 3
+    tmodel = ref.GNN(
+        in_node_nf=IN_NF, in_edge_nf=0, hidden_nf=HID, n_layers=n_layers,
+        attention=True, normalization_factor=100.0,
+        aggregation_method="sum", out_node_nf=OUT_NF,
+    )
+    rng = np.random.default_rng(5)
+    h, x, node_mask, edge_mask, flat = _batch(rng, None)
+    with torch.no_grad():
+        h_ref = tmodel(flat["h"], (flat["rows"], flat["cols"])).numpy()
+
+    params = {
+        "embedding": dict(zip(("kernel", "bias"), _lin(tmodel.embedding))),
+        "embedding_out": dict(
+            zip(("kernel", "bias"), _lin(tmodel.embedding_out))
+        ),
+    }
+    for i in range(n_layers):
+        params[f"gcl_{i}"] = _gcl_params(
+            tmodel._modules[f"gcl_{i}"], HID, attention=True, has_e=False
+        )
+    cfg = EGNNConfig(
+        hidden_nf=HID, n_layers=n_layers, attention=True,
+        normalization_factor=100.0,
+    )
+    model = GNN(cfg, out_node_nf=OUT_NF)
+    h_out = model.apply(
+        {"params": params}, jnp.asarray(h), jnp.asarray(edge_mask),
+        jnp.asarray(node_mask),
+    )
+    np.testing.assert_allclose(_unpad(h_out), h_ref, rtol=1e-5, atol=5e-5)
