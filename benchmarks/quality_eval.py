@@ -85,8 +85,25 @@ def make_corpus(n=8000, seed=0, max_atoms=38, long_frac=0.0):
     return sorted(out)
 
 
+def corpus_properties(smiles_list):
+    """Real built-in descriptor values for the condition head (the
+    reference trains on ChEMBL pickles that carry measured properties,
+    train_chembl33_baseline.py:410-421; training with all-zero conditions
+    — the pre-round-4 behavior — leaves the condition embedding untrained
+    and was why PARITY part B saw no steering)."""
+    from cmdgen_tpu.chem.descriptors import all_properties
+
+    props = {k: [] for k in
+             ("MW", "logP", "QED", "SAS", "HBA", "HBD", "RotaNumBonds")}
+    for s in smiles_list:
+        p = all_properties(s) or {}
+        for k in props:
+            props[k].append(float(p.get(k, 0.0)))
+    return props
+
+
 def gcpg_quality(quick=False, n_corpus=None, epochs=None, workdir=None,
-                 eval_only=False, long_frac=0.0):
+                 eval_only=False, long_frac=0.0, with_properties=True):
     from cmdgen_tpu.config import GCPGModelConfig, GCPGTrainConfig
     from cmdgen_tpu.pipeline.evaluate import eval_gcpg
     from cmdgen_tpu.train.gcpg_train import train_gcpg
@@ -97,6 +114,7 @@ def gcpg_quality(quick=False, n_corpus=None, epochs=None, workdir=None,
     rng.shuffle(corpus)
     n_test = max(32, len(corpus) // 20)
     test, train = corpus[:n_test], corpus[n_test:]
+    train_props = corpus_properties(train) if with_properties else {}
 
     mcfg = GCPGModelConfig(
         max_len=80,
@@ -121,7 +139,9 @@ def gcpg_quality(quick=False, n_corpus=None, epochs=None, workdir=None,
             model, params, tok = _load_gcpg_ckpt(out_dir, "last")
         else:
             t0 = time.time()
-            params, model, tok = train_gcpg(mcfg, tcfg, train, {}, out_dir)
+            params, model, tok = train_gcpg(
+                mcfg, tcfg, train, train_props, out_dir
+            )
             train_s = time.time() - t0
         res = eval_gcpg(
             model, params, tok, jax.random.PRNGKey(3), test,

@@ -240,9 +240,21 @@ def eval_gcpg(
     pp_mask = jnp.asarray(np.stack([g[2] for g in graphs]))
     b = pp_h.shape[0]
     if conditions is None:
-        conditions = np.tile(
-            np.asarray([[400, 4, 0.6, 4, 4, 0, 0]], dtype=np.float32), (b, 1)
-        )
+        # the reference conditions on each test molecule's TRUE properties
+        # (test_generation.py:132-136: the SemiSmilesDataset batch carries
+        # the pickle's measured values); generate.py's fixed grid defaults
+        # are the fallback for molecules the descriptors reject
+        from cmdgen_tpu.chem.descriptors import all_properties
+
+        default = [400.0, 4.0, 0.6, 4.0, 4.0, 0.0, 0.0]
+        rows = []
+        for s in used:
+            p = all_properties(s)
+            rows.append(
+                [p["MW"], p["logP"], p["QED"], p["SAS"], p["RotaNumBonds"],
+                 0.0, 0.0] if p else default
+            )
+        conditions = np.asarray(rows, dtype=np.float32)
     rng, sub = jax.random.split(rng)
     toks = gcpg_mod.generate(
         model, params, sub, pp_h, pp_e, pp_mask,

@@ -19,6 +19,13 @@ import optax
 from cmdgen_tpu.config import GCPGTrainConfig
 from cmdgen_tpu.models.gcpg import GCPG
 
+# dataset property rows (data/dataset.py PROPERTY_KEYS:
+# [MW, logP, QED, SAS, HBA, HBD, RotaNumBonds, Score, Smi]) -> the model's
+# 7-condition layout [MW, logP, QED, SAS, RotaNumBonds, Score, Smi]
+# (train_chembl33_baseline.py:148-151: HBA/HBD are carried in the batch but
+# never conditioned on)
+COND_IDX = np.asarray([0, 1, 2, 3, 6, 7, 8])
+
 # rarity weights per pharmacophore type (train_chembl33_baseline.py:39-40)
 PP_TYPE_WEIGHT = (
     1.4891304347826086, 1.0, 8.058823529411764, 1.0378787878787878,
@@ -85,7 +92,7 @@ def make_gcpg_train_step(
         k_z, k_drop = jax.random.split(rng)
 
         def loss_fn(p):
-            conds = batch["props"][:, :7] * gate[None, :]
+            conds = batch["props"][:, COND_IDX] * gate[None, :]
             logits, mapping_scores, lm_loss, kl_loss = model.apply(
                 p, k_z, batch["inputs"], batch["input_valid"],
                 batch["pp_h"], batch["pp_e"], batch["pp_mask"],
@@ -186,7 +193,7 @@ def train_gcpg(
         params = model.init(
             k_init, jax.random.PRNGKey(0), first["inputs"],
             first["input_valid"], first["pp_h"], first["pp_e"],
-            first["pp_mask"], first["targets"], first["props"][:, :7],
+            first["pp_mask"], first["targets"], first["props"][:, COND_IDX],
         )
     opt_state = optimizer.init(params)
 

@@ -174,3 +174,17 @@ def test_posterior_memory_generation(model_setup):
         random_sample=False, memory=(mem, mem_valid),
     )
     assert toks.shape == (4, CFG.max_len - 1)
+
+
+def test_condition_layout_matches_reference():
+    """The train step must feed the model the reference's 7-condition
+    layout [MW, logP, QED, SAS, RotaNumBonds, Score, Smi]
+    (train_chembl33_baseline.py:148-151) — NOT the first 7 dataset
+    property rows, whose positions 4-5 are HBA/HBD (carried in the batch
+    but never conditioned on). Regression guard for a round-4 bug."""
+    from cmdgen_tpu.data.dataset import PROPERTY_KEYS
+    from cmdgen_tpu.train.gcpg_train import COND_IDX
+
+    assert [PROPERTY_KEYS[i] for i in COND_IDX] == [
+        "MW", "logP", "QED", "SAS", "RotaNumBonds", "Score", "Smi"
+    ]
