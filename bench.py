@@ -49,7 +49,6 @@ def main():
     cfg = ca_config()
     use_pallas = os.environ.get("BENCH_PALLAS", "0") == "1"
     use_dense = os.environ.get("BENCH_DENSE", "0") == "1"
-    stack = os.environ.get("BENCH_STACK", "0") == "1"
     b = int(os.environ.get("BENCH_BATCH", "48"))
     k = int(os.environ.get("BENCH_K", "12"))
     egnn = dataclasses.replace(
@@ -61,11 +60,8 @@ def main():
     dynamics = EGNNDynamics(dyn_cfg)
     if use_pallas and use_dense:
         raise SystemExit("BENCH_PALLAS needs the neighbor list; unset BENCH_DENSE")
-    if stack and not use_pallas:
-        raise SystemExit("BENCH_STACK selects a Pallas kernel variant; set BENCH_PALLAS=1")
     spp = int(os.environ.get("BENCH_SPP", "1"))
-    apply_fn = (make_pallas_apply(dyn_cfg, samples_per_program=spp,
-                                  stacked=stack)
+    apply_fn = (make_pallas_apply(dyn_cfg, samples_per_program=spp)
                 if use_pallas else None)
     model = ConditionalDDPM(cfg.ddpm, dynamics, apply_fn=apply_fn)
 

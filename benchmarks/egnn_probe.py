@@ -86,21 +86,15 @@ def main():
             )
             dyn_cfg = dataclasses.replace(base.dynamics, egnn=egnn)
         elif mode.startswith("pnb"):
-            # pnbK or pnbKxS (S = samples per Pallas program); a trailing
-            # 's' selects the stacked-samples kernel (e.g. pnb12x8s)
+            # pnbK or pnbKxS (S = samples per Pallas program)
             spec = mode[3:]
             k, _, sb = spec.partition("x")
-            stacked = sb.endswith("s")
-            if stacked:
-                sb = sb[:-1]
             k, sb = int(k), int(sb or 1)
             egnn = dataclasses.replace(
                 base.dynamics.egnn, compute_dtype=jnp.bfloat16, neighbor_k=k
             )
             dyn_cfg = dataclasses.replace(base.dynamics, egnn=egnn)
-            apply_fn = make_pallas_apply(
-                dyn_cfg, samples_per_program=sb, stacked=stacked
-            )
+            apply_fn = make_pallas_apply(dyn_cfg, samples_per_program=sb)
         else:
             k = int(mode_eff[2:])
             egnn = dataclasses.replace(

@@ -159,7 +159,7 @@ def _type_mlp(h, p):
 
 def make_pallas_apply(cfg: DynamicsConfig, interpret: bool = False,
                       compute_dtype=None, engine: str = "fused",
-                      samples_per_program: int = 1, stacked: bool = False):
+                      samples_per_program: int = 1):
     """A drop-in replacement for EGNNDynamics.apply backed by the fused
     whole-network Pallas EGNN kernel (ops/egnn_fused.py). Same
     signature/params tree; inference path (no custom VJP — use the flax
@@ -218,7 +218,7 @@ def make_pallas_apply(cfg: DynamicsConfig, interpret: bool = False,
             update_rows=(None if cfg.update_pocket_coords
                          else xh_phar.shape[-2]),
             interpret=interpret, compute_dtype=cdt,
-            samples_per_program=samples_per_program, stacked=stacked,
+            samples_per_program=samples_per_program,
         )
         vel = (x_final - x) * mask[..., None]
         if cfg.condition_time:

@@ -206,175 +206,6 @@ def _make_fused_kernel(n: int, k: int, hdim: int, n_layers: int,
     return kernel
 
 
-def _make_stacked_kernel(n: int, k: int, hdim: int, n_layers: int,
-                         r_pad: int, r_true: int,
-                         norm_constant: float, coords_range: float,
-                         norm_factor: float, tanh: bool,
-                         compute_dtype=jnp.bfloat16,
-                         samples_per_program: int = 1):
-    """Stacked-samples variant of the fused kernel: the SB samples of one
-    program are flattened into the M dimension of every H-contraction
-    matmul ([SB*N, H] node ops, [SB*KN, H] edge ops) instead of looping
-    per sample. Gathers stay per-sample [KN, N] matmuls (a block-diagonal
-    stacked gather would pay SB x the FLOPs), and the K-sum becomes one
-    [SB, K, N, H] axis-1 reduction. Motivation: at SB=1 the per-sample
-    loop issues ~300 Mosaic instructions per sample per step; instruction
-    issue does not overlap across the loop, so stacking cuts the issue
-    count ~SB-fold on the matmul-heavy path. Semantics identical to
-    _make_fused_kernel (parity-tested)."""
-    kn = k * n
-    kr = k * r_pad
-    cdt = compute_dtype
-    sb = samples_per_program
-    sn = sb * n
-    skn = sb * kn
-    skr = sb * kr
-
-    def kernel(
-        h_ref, x_ref, col_ref, kms_ref, d0s_ref, colr_ref, kmr_ref,
-        d0r_ref, nm_ref,
-        wi_ref, wj_ref, wjb_ref, we_ref, w2_ref, w2b_ref, att_ref, attb_ref,
-        nih_ref, nia_ref, nib_ref, no_ref, nob_ref,
-        cwi_ref, cwj_ref, cwjb_ref, cwe_ref, cm_ref, cmb_ref, cg_ref,
-        hout_ref, xout_ref,
-    ):
-        nmask = nm_ref[...].reshape(sn, 1)              # [SN, 1] f32
-        h = h_ref[...].reshape(sn, hdim).astype(cdt)    # [SN, H]
-        x = x_ref[...].reshape(sn, 3)                   # [SN, 3] f32
-        col = col_ref[...].reshape(skn, 1)
-        km_s = kms_ref[...].reshape(skn, 1)
-        d0_s = d0s_ref[...].reshape(skn, 1).astype(cdt)
-        col_r = colr_ref[...].reshape(skr, 1)
-        km_r = kmr_ref[...].reshape(skr, 1)
-        d0_r = d0r_ref[...].reshape(skr, 1).astype(cdt)
-
-        # per-sample gather matrices (indices are sample-local), built once
-        lane = jax.lax.broadcasted_iota(jnp.int32, (kn, n), 1)
-        ohs = [
-            (lane == col[s * kn:(s + 1) * kn]).astype(cdt) for s in range(sb)
-        ]
-        lane_r = jax.lax.broadcasted_iota(jnp.int32, (kr, n), 1)
-        ohrs = [
-            (lane_r == col_r[s * kr:(s + 1) * kr]).astype(cdt)
-            for s in range(sb)
-        ]
-        ohr32s = [o.astype(jnp.float32) for o in ohrs]
-        row_r = jax.lax.broadcasted_iota(jnp.int32, (r_pad, 1), 0)
-        move_mask = (row_r < r_true).astype(jnp.float32)  # [r_pad, 1]
-
-        def mm(a, b):
-            return jnp.dot(a, b, preferred_element_type=jnp.float32)
-
-        def gather_all(mats, v):
-            """Per-sample gather of stacked [SN, D] v by mats[s] [·, n]
-            -> [SB*·, D]."""
-            return jnp.concatenate(
-                [mm(mats[s], v[s * n:(s + 1) * n]) for s in range(sb)],
-                axis=0,
-            )
-
-        def rep_k(v, rows):
-            """Per-sample K-fold row repeat: stacked [SB*rows, D] ->
-            [SB*K*rows, D] matching the stacked-K edge layout."""
-            return jnp.concatenate(
-                [
-                    jnp.concatenate([v[s * rows:(s + 1) * rows]] * k, axis=0)
-                    for s in range(sb)
-                ],
-                axis=0,
-            )
-
-        for l in range(n_layers):
-            # ------------- invariant message pass, all samples stacked
-            wi = mm(h, wi_ref[l].astype(cdt)).astype(cdt)          # [SN, H]
-            wj = (mm(h, wj_ref[l].astype(cdt)) + wjb_ref[l]).astype(cdt)
-            xj = gather_all(ohs, x.astype(cdt))                # [SKN, 3]
-            xi = rep_k(x.astype(cdt), n)
-            diff = xi - xj
-            radial = jnp.sum(diff * diff, axis=-1, keepdims=True)
-            wj_g = gather_all(ohs, wj).astype(cdt)             # [SKN, H]
-            pre = (
-                rep_k(wi, n) + wj_g
-                + radial.astype(cdt) * we_ref[l, 0:1, :].astype(cdt)
-                + d0_s * we_ref[l, 1:2, :].astype(cdt)
-            )
-            m = _silu(pre)
-            m = _silu((mm(m, w2_ref[l].astype(cdt)) + w2b_ref[l]).astype(cdt))
-            att = jax.nn.sigmoid(
-                mm(m, att_ref[l].astype(cdt)) + attb_ref[l]
-            )
-            mmsg = m * (att * km_s).astype(cdt)                    # [SKN, H]
-            agg = jnp.sum(
-                mmsg.reshape(sb, k, n, hdim), axis=1
-            ).reshape(sn, hdim)
-            agg = agg * jnp.asarray(1.0 / norm_factor, cdt)
-
-            # ------------- node MLP (residual), stacked
-            upd = _silu(
-                (mm(h, nih_ref[l].astype(cdt))
-                 + mm(agg, nia_ref[l].astype(cdt))
-                 + nib_ref[l]).astype(cdt)
-            )
-            h = h + (mm(upd, no_ref[l].astype(cdt)) + nob_ref[l]).astype(cdt)
-            h = h * nmask.astype(cdt)
-
-            # ------------- coordinate pass (movable receivers), stacked
-            h_r = jnp.concatenate(
-                [h[s * n:s * n + r_pad] for s in range(sb)], axis=0
-            )                                                      # [SB*R, H]
-            cwi = mm(h_r, cwi_ref[l].astype(cdt)).astype(cdt)
-            cwj = (mm(h, cwj_ref[l].astype(cdt)) + cwjb_ref[l]).astype(cdt)
-            xj_r = jnp.concatenate(
-                [mm(ohr32s[s], x[s * n:(s + 1) * n]) for s in range(sb)],
-                axis=0,
-            )                                                      # [SKR, 3]
-            xi_r = jnp.concatenate(
-                [
-                    jnp.concatenate([x[s * n:s * n + r_pad]] * k, axis=0)
-                    for s in range(sb)
-                ],
-                axis=0,
-            )
-            diff_r = xi_r - xj_r
-            radial_r = jnp.sum(diff_r * diff_r, axis=-1, keepdims=True)
-            cwj_g = jnp.concatenate(
-                [mm(ohrs[s], cwj[s * n:(s + 1) * n]) for s in range(sb)],
-                axis=0,
-            ).astype(cdt)
-            pre_c = (
-                rep_k(cwi, r_pad) + cwj_g
-                + radial_r.astype(cdt) * cwe_ref[l, 0:1, :].astype(cdt)
-                + d0_r * cwe_ref[l, 1:2, :].astype(cdt)
-            )
-            o = _silu(pre_c)
-            o = _silu((mm(o, cm_ref[l].astype(cdt)) + cmb_ref[l]).astype(cdt))
-            g = mm(o, cg_ref[l].astype(cdt))                       # [SKR, 1]
-            if tanh:
-                g = jnp.tanh(g) * coords_range
-            norm = jnp.sqrt(radial_r + 1e-8)
-            cd = diff_r / (norm + norm_constant)
-            trans = cd * g * km_r                                  # [SKR, 3]
-            cagg = jnp.sum(trans.reshape(sb, k, r_pad, 3), axis=1)
-            cagg = (cagg / norm_factor) * move_mask[None]          # [SB,R,3]
-            x = jnp.concatenate(
-                [
-                    jnp.concatenate(
-                        [x[s * n:s * n + r_pad] + cagg[s],
-                         x[s * n + r_pad:(s + 1) * n]],
-                        axis=0,
-                    )
-                    for s in range(sb)
-                ],
-                axis=0,
-            )
-            x = x * nmask
-
-        hout_ref[...] = h.astype(jnp.float32).reshape(sb, n, hdim)
-        xout_ref[...] = x.reshape(sb, n, 3)
-
-    return kernel
-
-
 def egnn_forward_fused(
     egnn_params: dict,
     h: jnp.ndarray,            # [B, N, D_in]
@@ -393,7 +224,6 @@ def egnn_forward_fused(
     interpret: bool = False,
     compute_dtype=jnp.bfloat16,
     samples_per_program: int = 1,
-    stacked: bool = False,
 ):
     """models.egnn.EGNN equivalent (inv_sublayers=1, neighbor-list mode)
     as ONE fused pallas_call over the whole stack. ``update_rows``: the
@@ -401,9 +231,11 @@ def egnn_forward_fused(
     model's pharmacophore nodes); None moves every row.
     ``samples_per_program``: batch elements run per Pallas program (the
     batch is zero-padded up to a multiple; padded rows have node_mask 0).
-    ``stacked``: flatten the SB samples into the M dimension of every
-    H-contraction matmul instead of looping per sample
-    (_make_stacked_kernel)."""
+    A stacked-samples variant (SB samples flattened into every matmul's M
+    dimension) was A/B'd on hardware in round 4 and tied the per-sample
+    loop exactly (2.60 ms/step vs XLA's 1.82 at B=48, K=12, SB=8) — both
+    fused variants lose to XLA's overlapped fusion, so the simpler
+    per-sample kernel is the one kept (PERF.md round-4 note)."""
     b, n, _ = h.shape
     kk = min(neighbor_k, n)
     hdim = egnn_params["embedding"]["kernel"].shape[1]
@@ -496,8 +328,7 @@ def egnn_forward_fused(
         col_s, kms_s, d0s_s = pad_b(col_s), pad_b(kms_s), pad_b(d0s_s)
         col_r, kmr_s, d0r_s = pad_b(col_r), pad_b(kmr_s), pad_b(d0r_s)
 
-    builder = _make_stacked_kernel if stacked else _make_fused_kernel
-    kernel = builder(
+    kernel = _make_fused_kernel(
         n_pad, kk, hdim, n_layers, r_pad, r_true,
         norm_constant, coords_range, normalization_factor, tanh,
         compute_dtype, samples_per_program=sb,

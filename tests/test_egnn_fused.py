@@ -139,17 +139,18 @@ def test_fused_flagship_shape_smoke():
 
 
 @pytest.mark.parametrize("cutoff,spp", [(None, 2), (4.0, 3)])
-def test_stacked_kernel_matches_flax(cutoff, spp):
-    """The stacked-samples kernel variant (samples flattened into the M
-    dimension of every H-contraction matmul) must match the flax path,
-    including batch padding (b=2 with spp=3 pads one zero sample)."""
+def test_multi_sample_program_matches_flax(cutoff, spp):
+    """samples_per_program > 1 must match the flax path, including batch
+    padding (b=2 with spp=3 pads one zero sample). (The stacked-samples
+    kernel variant this test used to also cover was pruned in round 4
+    after tying the per-sample loop exactly on hardware — PERF.md.)"""
     cfg, dyn, params, xh_p, xh_q, t, m_p, m_q = _setup(cutoff=cutoff)
     ref_p, ref_q = dyn.apply(params, xh_p, xh_q, t, m_p, m_q)
-    apply_stacked = make_pallas_apply(
+    apply_spp = make_pallas_apply(
         cfg, interpret=True, compute_dtype=jnp.float32, engine="fused",
-        samples_per_program=spp, stacked=True,
+        samples_per_program=spp,
     )
-    out_p, out_q = apply_stacked(params, xh_p, xh_q, t, m_p, m_q)
+    out_p, out_q = apply_spp(params, xh_p, xh_q, t, m_p, m_q)
     np.testing.assert_allclose(
         np.asarray(out_p), np.asarray(ref_p), atol=2e-4, rtol=1e-4
     )
