@@ -66,7 +66,13 @@ def main():
     model = ConditionalDDPM(cfg.ddpm, dynamics, apply_fn=apply_fn)
 
     n_p, n_q = 8, 110
-    t_steps = 100  # timed slice of the T=500 chain (steps/sec is invariant)
+    # time the FULL T=500 flagship chain: each jitted sample call carries a
+    # fixed ~30 ms dispatch+fetch constant over the axon tunnel, so short
+    # timed slices inflate the per-step figure (at t_steps=100 the constant
+    # alone is 0.3 ms/step ≈ 20% — it masked the round-3 kernel gains;
+    # PERF.md round-4 notes). Production sampling runs the full chain, so
+    # T=500 is both the honest and the representative measurement.
+    t_steps = int(os.environ.get("BENCH_TSTEPS", "500"))
     rng = jax.random.PRNGKey(0)
     k2, k3 = jax.random.split(rng)
     pockets = np.stack(
