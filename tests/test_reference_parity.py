@@ -336,3 +336,167 @@ def test_gnn_fallback_matches_reference(ref):
         jnp.asarray(node_mask),
     )
     np.testing.assert_allclose(_unpad(h_out), h_ref, rtol=1e-5, atol=5e-5)
+
+
+# ------------------------------------------------- full-denoiser transplant
+
+
+def _load_reference_dynamics():
+    """Load the reference EGNNDynamics with stub torch_scatter/utils/rdkit
+    deps (dynamics.py itself only needs scatter for the joint-mode
+    remove_mean_batch, provided here in pure torch)."""
+    import sys
+    import types
+
+    pkg_root = pathlib.Path("/root/reference/DiffPhar")
+    if not pkg_root.exists():
+        pytest.skip("reference tree not present")
+
+    def scatter_mean(src, index, dim=0, dim_size=None):
+        n = dim_size or int(index.max()) + 1
+        out = src.new_zeros((n, *src.shape[1:]))
+        cnt = src.new_zeros((n, *src.shape[1:]))
+        idx = index.view(-1, *([1] * (src.dim() - 1))).expand_as(src)
+        out.scatter_add_(0, idx, src)
+        cnt.scatter_add_(0, idx, torch.ones_like(src))
+        return out / cnt.clamp(min=1)
+
+    def scatter_add(src, index, dim=0, dim_size=None):
+        n = dim_size or int(index.max()) + 1
+        out = src.new_zeros((n, *src.shape[1:]))
+        idx = index.view(-1, *([1] * (src.dim() - 1))).expand_as(src)
+        return out.scatter_add_(0, idx, src)
+
+    stub_scatter = types.ModuleType("torch_scatter")
+    stub_scatter.scatter_add = scatter_add
+    stub_scatter.scatter_mean = scatter_mean
+    saved = {
+        k: sys.modules.get(k) for k in ("torch_scatter", "utils")
+    }
+    sys.modules["torch_scatter"] = stub_scatter
+    sys.modules["utils"] = types.ModuleType("utils")
+    sys.path.insert(0, str(pkg_root))
+    try:
+        spec = importlib.util.spec_from_file_location(
+            "equivariant_diffusion.dynamics",
+            pkg_root / "equivariant_diffusion" / "dynamics.py",
+        )
+        mod = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(mod)
+    finally:
+        sys.path.remove(str(pkg_root))
+        for k, v in saved.items():
+            if v is None:
+                sys.modules.pop(k, None)
+            else:
+                sys.modules[k] = v
+    return mod
+
+
+def _seq_mlp_params(seq):
+    """nn.Sequential(Linear, act, Linear) -> flax TypeMLP param dict."""
+    k0, b0 = _lin(seq[0])
+    k1, b1 = _lin(seq[2])
+    return {
+        "Dense_0": {"kernel": k0, "bias": b0},
+        "Dense_1": {"kernel": k1, "bias": b1},
+    }
+
+
+@pytest.mark.parametrize("update_pocket_coords", [False, True])
+def test_dynamics_forward_matches_reference(ref, update_pocket_coords):
+    """Weight-transplant parity for the FULL denoiser (dynamics.py:9-147):
+    per-type MLPs, time conditioning, 6 Å-cutoff adjacency, EGNN, velocity
+    split, per-type decoders — conditional (frozen pocket) and joint
+    (CoM-projected velocities) modes."""
+    dyn_mod = _load_reference_dynamics()
+    from cmdgen_tpu.models.dynamics import DynamicsConfig, EGNNDynamics
+
+    torch.manual_seed(7)
+    phar_nf, residue_nf, joint_nf, hidden, n_layers = 5, 6, 16, 32, 2
+    cutoff = 5.0
+    tdyn = dyn_mod.EGNNDynamics(
+        phar_nf=phar_nf, residue_nf=residue_nf, n_dims=3,
+        joint_nf=joint_nf, hidden_nf=hidden, n_layers=n_layers,
+        attention=True, condition_time=True, tanh=True,
+        norm_constant=1.0, inv_sublayers=1, sin_embedding=False,
+        normalization_factor=100.0, aggregation_method="sum",
+        update_pocket_coords=update_pocket_coords, edge_cutoff=cutoff,
+    )
+    tdyn.eval()
+
+    # padded batch: 2 samples, ragged phar/pocket sizes
+    bs, n_p, n_q = 2, 4, 7
+    sizes_p, sizes_q = [3, 4], [7, 5]
+    rng = np.random.default_rng(11)
+    x_p = (2.0 * rng.standard_normal((bs, n_p, 3))).astype(np.float32)
+    h_p = rng.standard_normal((bs, n_p, phar_nf)).astype(np.float32)
+    x_q = (2.0 * rng.standard_normal((bs, n_q, 3))).astype(np.float32)
+    h_q = rng.standard_normal((bs, n_q, residue_nf)).astype(np.float32)
+    m_p = np.zeros((bs, n_p), np.float32)
+    m_q = np.zeros((bs, n_q), np.float32)
+    for b_i in range(bs):
+        m_p[b_i, : sizes_p[b_i]] = 1.0
+        m_q[b_i, : sizes_q[b_i]] = 1.0
+        x_p[b_i, sizes_p[b_i]:] = 0.0
+        h_p[b_i, sizes_p[b_i]:] = 0.0
+        x_q[b_i, sizes_q[b_i]:] = 0.0
+        h_q[b_i, sizes_q[b_i]:] = 0.0
+    t = rng.random((bs, 1)).astype(np.float32)
+
+    # flat reference form: per sample phars first then residues, batch mask;
+    # t stays [bs, 1] — the reference broadcasts it per node via t[mask]
+    # (dynamics.py:92-99)
+    xh_p_flat, xh_q_flat, mask_p_flat, mask_q_flat = [], [], [], []
+    for b_i in range(bs):
+        for i in range(sizes_p[b_i]):
+            xh_p_flat.append(np.concatenate([x_p[b_i, i], h_p[b_i, i]]))
+            mask_p_flat.append(b_i)
+        for i in range(sizes_q[b_i]):
+            xh_q_flat.append(np.concatenate([x_q[b_i, i], h_q[b_i, i]]))
+            mask_q_flat.append(b_i)
+    with torch.no_grad():
+        eps_p_ref, eps_q_ref = tdyn.forward(
+            torch.tensor(np.stack(xh_p_flat)),
+            torch.tensor(np.stack(xh_q_flat)),
+            torch.tensor(t),
+            torch.tensor(mask_p_flat, dtype=torch.long),
+            torch.tensor(mask_q_flat, dtype=torch.long),
+        )
+    eps_p_ref, eps_q_ref = eps_p_ref.numpy(), eps_q_ref.numpy()
+
+    cfg = DynamicsConfig(
+        phar_nf=phar_nf, residue_nf=residue_nf, joint_nf=joint_nf,
+        condition_time=True, update_pocket_coords=update_pocket_coords,
+        edge_cutoff=cutoff,
+        egnn=EGNNConfig(
+            hidden_nf=hidden, n_layers=n_layers, inv_sublayers=1,
+            attention=True, tanh=True, normalization_factor=100.0,
+        ),
+    )
+    egnn_params = _transplant(tdyn.egnn, n_layers, 1, True)["params"]
+    params = {
+        "params": {
+            "phar_encoder": _seq_mlp_params(tdyn.phar_encoder),
+            "residue_encoder": _seq_mlp_params(tdyn.residue_encoder),
+            "phar_decoder": _seq_mlp_params(tdyn.phar_decoder),
+            "residue_decoder": _seq_mlp_params(tdyn.residue_decoder),
+            "egnn": egnn_params,
+        }
+    }
+    model = EGNNDynamics(cfg)
+    eps_p, eps_q = model.apply(
+        params,
+        jnp.asarray(np.concatenate([x_p, h_p], -1)),
+        jnp.asarray(np.concatenate([x_q, h_q], -1)),
+        jnp.asarray(t), jnp.asarray(m_p), jnp.asarray(m_q),
+    )
+    # unpad to the reference's flat layout
+    eps_p_np = np.concatenate(
+        [np.asarray(eps_p[b_i, : sizes_p[b_i]]) for b_i in range(bs)]
+    )
+    eps_q_np = np.concatenate(
+        [np.asarray(eps_q[b_i, : sizes_q[b_i]]) for b_i in range(bs)]
+    )
+    np.testing.assert_allclose(eps_p_np, eps_p_ref, rtol=1e-5, atol=5e-5)
+    np.testing.assert_allclose(eps_q_np, eps_q_ref, rtol=1e-5, atol=5e-5)
