@@ -65,11 +65,20 @@ def main():
         # compute-shape twin selects the first K columns — WRONG results,
         # timing ablation that isolates the per-step top_k cost)
         apply_fn = None
-        notopk = False
-        if mode.endswith("notopk"):
-            mode_eff, notopk = mode[: -len("notopk")], True
-        else:
-            mode_eff = mode
+        notopk = noatt = False
+        layers = None
+        mode_eff = mode
+        # timing-ablation suffixes (compute-shape twins; wrong results):
+        # notopk = first-K columns instead of the top-k; noatt = attention
+        # gate off; lN = N EquivariantBlocks instead of the config's count
+        for _ in range(3):
+            if mode_eff.endswith("notopk"):
+                mode_eff, notopk = mode_eff[: -len("notopk")], True
+            elif mode_eff.endswith("noatt"):
+                mode_eff, noatt = mode_eff[: -len("noatt")], True
+            elif mode_eff[-2] == "l" and mode_eff[-1].isdigit():
+                layers = int(mode_eff[-1])
+                mode_eff = mode_eff[:-2]
         if mode == "floor":
             egnn = dataclasses.replace(
                 base.dynamics.egnn, compute_dtype=jnp.bfloat16
@@ -101,6 +110,13 @@ def main():
                 base.dynamics.egnn, compute_dtype=jnp.bfloat16, neighbor_k=k
             )
             dyn_cfg = dataclasses.replace(base.dynamics, egnn=egnn)
+        if noatt or layers is not None:
+            egnn = dataclasses.replace(
+                dyn_cfg.egnn,
+                attention=not noatt and dyn_cfg.egnn.attention,
+                n_layers=layers or dyn_cfg.egnn.n_layers,
+            )
+            dyn_cfg = dataclasses.replace(dyn_cfg, egnn=egnn)
         if notopk:
             from cmdgen_tpu.models import egnn as egnn_mod
 
