@@ -1,10 +1,15 @@
 """Build molecules from 3-D point clouds: distance-table bond perception.
 
-Behavioral equivalent of DiffPhar/analysis/molecule_builder.py:15-240 (the
-EDM path; the OpenBabel round-trip path has no host library here): infer
-bond orders from interatomic distances against empirical bond-length tables
-with margins, validate valences, optionally keep the largest fragment, and
-filter 3-3 fused ring systems. Produces a chem.mol.Mol plus SMILES.
+Behavioral equivalent of DiffPhar/analysis/molecule_builder.py:15-240, BOTH
+build paths: the EDM distance-table path (make_mol / make_mol_edm,
+molecule_builder.py:91-127) and the default OpenBabel xyz round-trip path
+(make_mol_obabel here vs molecule_builder.py:58-88) — the host library is
+absent, so the OpenBabel behaviors are reimplemented: covalent-radius
+connectivity (ConnectTheDots), valence-respecting bond-order perception with
+hybridization angle gates (PerceiveBondOrders), and geometric aromatic-ring
+perception. A UFF-style relaxation (`ff_relax`, vs molecule_builder.py
+uff_relax/process_molecule relax_iter) cleans up generated geometry.
+Produces a chem.mol.Mol plus SMILES.
 """
 from __future__ import annotations
 
@@ -135,6 +140,262 @@ def perceive_aromatic_rings(mol: Mol, coords: np.ndarray,
     return True
 
 
+# Covalent radii in Å (Cordero/OpenBabel element table subset) for the
+# ConnectTheDots-style connectivity net.
+COVALENT_RADII = {
+    "H": 0.31, "B": 0.84, "C": 0.76, "N": 0.71, "O": 0.66, "F": 0.57,
+    "Si": 1.11, "P": 1.07, "S": 1.05, "Cl": 1.02, "As": 1.19, "Se": 1.20,
+    "Br": 1.20, "I": 1.39, "Al": 1.21, "Na": 1.66, "Mg": 1.41, "K": 2.03,
+    "Ca": 1.76, "Zn": 1.22, "Fe": 1.32, "Cu": 1.32, "Mn": 1.39, "Li": 1.28,
+    "Sn": 1.39,
+}
+# Maximum plausible heavy connectivity (OpenBabel's over-coordination trim
+# limit; allows hypervalent S/P and charged N).
+MAX_CONN = {
+    "H": 1, "B": 4, "C": 4, "N": 4, "O": 2, "F": 1, "Si": 6, "P": 5,
+    "S": 6, "Cl": 1, "As": 5, "Se": 4, "Br": 1, "I": 3, "Al": 6,
+}
+# Max total valence for free-valence bookkeeping in bond-order perception.
+_MAX_VALENCE = {
+    "H": 1, "B": 3, "C": 4, "N": 3, "O": 2, "F": 1, "Si": 4, "P": 5,
+    "S": 6, "Cl": 1, "As": 5, "Se": 4, "Br": 1, "I": 1,
+}
+
+
+def connect_the_dots(symbols: Sequence[str], coords: np.ndarray,
+                     tol: float = 0.45) -> List[Tuple[int, int, float]]:
+    """OpenBabel OBMol::ConnectTheDots equivalent: bond every atom pair
+    closer than the sum of covalent radii + `tol` Å (and farther than a
+    0.16 Å overlap floor), then trim over-coordinated atoms by removing
+    their LONGEST bonds until within MAX_CONN.
+
+    Returns [(i, j, distance)] with i < j. Spec: the connectivity the
+    reference's xyz->sdf round-trip produces (molecule_builder.py:58-88)."""
+    n = len(symbols)
+    coords = np.asarray(coords, dtype=np.float64)
+    rad = np.array([COVALENT_RADII.get(s, 0.77) for s in symbols])
+    d = np.sqrt(((coords[:, None, :] - coords[None, :, :]) ** 2).sum(-1))
+    cut = rad[:, None] + rad[None, :] + tol
+    pairs = [
+        (i, j, float(d[i, j]))
+        for i in range(n) for j in range(i + 1, n)
+        if 0.16 < d[i, j] < cut[i, j]
+    ]
+    # over-coordination trim: drop the longest bond of the worst offender
+    # until every atom is within its max connectivity
+    while True:
+        deg = [0] * n
+        for i, j, _ in pairs:
+            deg[i] += 1
+            deg[j] += 1
+        over = [
+            i for i in range(n)
+            if deg[i] > MAX_CONN.get(symbols[i], 6)
+        ]
+        if not over:
+            return pairs
+        worst = max(over, key=lambda i: deg[i] - MAX_CONN.get(symbols[i], 6))
+        mine = [p for p in pairs if worst in p[:2]]
+        pairs.remove(max(mine, key=lambda p: p[2]))
+
+
+def _mean_bond_angle(i: int, nbrs: List[int], coords: np.ndarray) -> float:
+    """Mean angle (degrees) over neighbor pairs at atom i; 180 if < 2 nbrs
+    (no constraint — OpenBabel treats terminal atoms as unconstrained)."""
+    if len(nbrs) < 2:
+        return 180.0
+    angles = []
+    for a in range(len(nbrs)):
+        for b in range(a + 1, len(nbrs)):
+            v1 = coords[nbrs[a]] - coords[i]
+            v2 = coords[nbrs[b]] - coords[i]
+            cos = np.dot(v1, v2) / (np.linalg.norm(v1) * np.linalg.norm(v2) + 1e-12)
+            angles.append(np.degrees(np.arccos(np.clip(cos, -1.0, 1.0))))
+    return float(np.mean(angles))
+
+
+def perceive_bond_orders(mol: Mol, coords: np.ndarray) -> None:
+    """OpenBabel OBMol::PerceiveBondOrders equivalent on a singles-only Mol.
+
+    Candidate multiple bonds are pairs whose distance gates the BONDS3/
+    BONDS2 tables; they are promoted greedily by gate tightness (observed
+    distance minus table length, ascending), only while BOTH endpoints have
+    free valence AND their bond-angle geometry is compatible (mean angle
+    >~115 deg for sp2/double, >~150 deg or terminal for sp/triple) — so the
+    result never over-valences an atom, unlike the per-pair-independent EDM
+    table path. Mutates bond orders in place."""
+    coords = np.asarray(coords, dtype=np.float64)
+    symbols = [a.symbol for a in mol.atoms]
+
+    def free_valence(i: int) -> int:
+        return _MAX_VALENCE.get(symbols[i], 4) - mol.bond_order_sum(i)
+
+    cands = []
+    for bi, b in enumerate(mol.bonds):
+        s1, s2 = symbols[b.a1], symbols[b.a2]
+        d_pm = float(np.linalg.norm(coords[b.a1] - coords[b.a2])) * 100
+        for order, table, margin in ((3, BONDS3, MARGINS[2]),
+                                     (2, BONDS2, MARGINS[1])):
+            length = table.get(s1, {}).get(s2, table.get(s2, {}).get(s1))
+            if length is not None and d_pm < length + margin:
+                cands.append((d_pm - length, order, bi))
+                break
+    cands.sort(key=lambda t: t[0])
+
+    nbr_cache = {
+        i: [n for n, _ in mol.neighbors(i)] for i in range(mol.n_atoms)
+    }
+    for _, order, bi in cands:
+        b = mol.bonds[bi]
+        extra = order - b.order
+        if extra <= 0:
+            continue
+        if free_valence(b.a1) < extra or free_valence(b.a2) < extra:
+            continue
+        min_angle = 150.0 if order == 3 else 115.0
+        ok = True
+        for end in (b.a1, b.a2):
+            if len(nbr_cache[end]) >= 2 and \
+                    _mean_bond_angle(end, nbr_cache[end], coords) < min_angle:
+                ok = False
+                break
+        if ok:
+            b.order = order
+
+
+def make_mol_obabel(symbols: Sequence[str], coords: np.ndarray) -> Mol:
+    """xyz -> Mol via the OpenBabel-equivalent path (the reference's DEFAULT
+    builder, molecule_builder.py:58-88 make_mol_openbabel): covalent-radius
+    connectivity, valence-respecting bond-order perception, aromatic-ring
+    perception."""
+    pairs = connect_the_dots(symbols, coords)
+    mol = Mol()
+    for s in symbols:
+        mol.add_atom(Atom(s))
+    for i, j, _ in pairs:
+        mol.add_bond(i, j, 1)
+    perceive_bond_orders(mol, coords)
+    perceive_aromatic_rings(mol, np.asarray(coords))
+    return mol
+
+
+def build_molecule(symbols: Sequence[str], coords: np.ndarray,
+                   use_openbabel: bool = True) -> Mol:
+    """Dispatcher mirroring molecule_builder.py:130-149 build_molecule:
+    use_openbabel=True (the reference default) -> the ConnectTheDots/
+    PerceiveBondOrders path; False -> the EDM distance-table path."""
+    if use_openbabel:
+        return make_mol_obabel(symbols, coords)
+    return make_mol(symbols, coords)
+
+
+# ideal angles (deg) by effective hybridization for the relax angle term
+_IDEAL_ANGLE = {1: 180.0, 2: 120.0, 3: 109.47}
+
+
+def ff_relax(mol: Mol, coords: np.ndarray, max_iter: int = 200,
+             tol: float = 1e-3) -> Tuple[np.ndarray, bool]:
+    """UFF-style geometry relaxation (molecule_builder.py:207-216 uff_relax
+    behavior envelope; RDKit's UFF is absent). Energy model: harmonic bond
+    stretch toward the empirical table length for the perceived order,
+    harmonic angle bend toward the hybridization-ideal angle, and a soft
+    r^-12 repulsion between nonbonded pairs closer than 2.4 Å. Minimized by
+    gradient descent with backtracking line search on the host (molecules
+    are small; numpy is fine).
+
+    Returns (relaxed coords, converged flag) — the flag mirrors the
+    reference's `more_iterations_required` (inverted)."""
+    x = np.asarray(coords, dtype=np.float64).copy()
+    n = mol.n_atoms
+    symbols = [a.symbol for a in mol.atoms]
+
+    bond_terms = []  # (i, j, rest length Å)
+    for b in mol.bonds:
+        s1, s2 = symbols[b.a1], symbols[b.a2]
+        table = {1: BONDS1, 2: BONDS2, 3: BONDS3}[min(b.order, 3)]
+        length = table.get(s1, {}).get(s2, table.get(s2, {}).get(s1))
+        if length is None:
+            length = (COVALENT_RADII.get(s1, 0.77)
+                      + COVALENT_RADII.get(s2, 0.77)) * 100
+        bond_terms.append((b.a1, b.a2, length / 100.0))
+
+    # effective hybridization: 4 - max bond order at the atom (capped)
+    hyb = []
+    for i in range(n):
+        orders = [mol.bonds[bi].order for _, bi in mol.neighbors(i)]
+        m = max(orders) if orders else 1
+        hyb.append(1 if m >= 3 else (2 if m == 2 else 3))
+    angle_terms = []  # (center, a, b, ideal rad)
+    for i in range(n):
+        nbrs = [nb for nb, _ in mol.neighbors(i)]
+        for a in range(len(nbrs)):
+            for b2 in range(a + 1, len(nbrs)):
+                angle_terms.append(
+                    (i, nbrs[a], nbrs[b2],
+                     np.radians(_IDEAL_ANGLE[hyb[i]]))
+                )
+
+    bonded = {(min(i, j), max(i, j)) for i, j, _ in bond_terms}
+    k_bond, k_angle, k_rep, rep_cut = 300.0, 40.0, 0.05, 2.4
+
+    def energy_grad(pos):
+        e = 0.0
+        g = np.zeros_like(pos)
+        for i, j, r0 in bond_terms:
+            v = pos[i] - pos[j]
+            r = np.linalg.norm(v) + 1e-12
+            e += 0.5 * k_bond * (r - r0) ** 2
+            gv = k_bond * (r - r0) * v / r
+            g[i] += gv
+            g[j] -= gv
+        for c, i, j, th0 in angle_terms:
+            v1, v2 = pos[i] - pos[c], pos[j] - pos[c]
+            r1 = np.linalg.norm(v1) + 1e-12
+            r2 = np.linalg.norm(v2) + 1e-12
+            cos = np.clip(np.dot(v1, v2) / (r1 * r2), -1.0, 1.0)
+            th = np.arccos(cos)
+            e += 0.5 * k_angle * (th - th0) ** 2
+            sin = max(np.sqrt(1 - cos * cos), 1e-6)
+            dcos_d1 = v2 / (r1 * r2) - cos * v1 / (r1 * r1)
+            dcos_d2 = v1 / (r1 * r2) - cos * v2 / (r2 * r2)
+            coef = -k_angle * (th - th0) / sin
+            g[i] += coef * dcos_d1
+            g[j] += coef * dcos_d2
+            g[c] -= coef * (dcos_d1 + dcos_d2)
+        for i in range(n):
+            for j in range(i + 1, n):
+                if (i, j) in bonded:
+                    continue
+                v = pos[i] - pos[j]
+                r = np.linalg.norm(v) + 1e-12
+                if r < rep_cut:
+                    e += k_rep * (rep_cut / r) ** 12
+                    gv = -12 * k_rep * (rep_cut / r) ** 12 / r * (v / r)
+                    g[i] += gv
+                    g[j] -= gv
+        return e, g
+
+    e, g = energy_grad(x)
+    step = 1e-3
+    converged = False
+    for _ in range(max_iter):
+        gmax = np.abs(g).max()
+        if gmax < tol:
+            converged = True
+            break
+        for _ls in range(20):
+            x_new = x - step * g
+            e_new, g_new = energy_grad(x_new)
+            if e_new < e:
+                x, e, g = x_new, e_new, g_new
+                step *= 1.2
+                break
+            step *= 0.5
+        else:
+            break
+    return x.astype(np.asarray(coords).dtype), converged
+
+
 def make_mol(symbols: Sequence[str], coords: np.ndarray,
              perceive_aromatic: bool = True) -> Mol:
     """xyz -> Mol with perceived bonds (make_mol_edm, molecule_builder.py:
@@ -195,27 +456,36 @@ def process_molecule(
     coords: np.ndarray,
     largest_fragment: bool = True,
     filter_fused_rings: bool = True,
+    use_openbabel: bool = False,
+    relax_iter: int = 0,
 ) -> Optional[Tuple[Mol, np.ndarray, str]]:
     """Build + sanitize + filter (molecule_builder.py:152-216).
 
+    use_openbabel selects the ConnectTheDots/PerceiveBondOrders build path
+    (the reference's default builder); relax_iter > 0 runs the UFF-style
+    `ff_relax` on the kept fragment (molecule_builder.py relax_iter knob).
     Returns (mol, coords, smiles) of the kept fragment or None."""
-    mol = make_mol(symbols, coords)
+    mol = build_molecule(symbols, coords, use_openbabel=use_openbabel)
     if largest_fragment:
         frags = _fragments(mol)
         best = max(frags, key=len)
         remap = {a: k for k, a in enumerate(best)}
         sub = Mol()
         for a in best:
-            sub.add_atom(Atom(mol.atoms[a].symbol))
+            sub.add_atom(Atom(mol.atoms[a].symbol,
+                              aromatic=mol.atoms[a].aromatic))
         for b in mol.bonds:
             if b.a1 in remap and b.a2 in remap:
-                sub.add_bond(remap[b.a1], remap[b.a2], b.order)
+                sub.add_bond(remap[b.a1], remap[b.a2], b.order,
+                             aromatic=b.aromatic)
         mol = sub
         coords = coords[best]
     if not mol.check_valence():
         return None
     if filter_fused_rings and has_fused_small_rings(mol):
         return None
+    if relax_iter > 0:
+        coords, _ = ff_relax(mol, coords, max_iter=relax_iter)
     try:
         smiles = write_smiles(mol, canonical=True)
     except Exception:
