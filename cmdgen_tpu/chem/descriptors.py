@@ -106,66 +106,270 @@ def ring_count(m) -> int:
 
 
 # -------------------------------------------------------------------- logP
+#
+# Full Wildman-Crippen atomic contribution system (Wildman & Crippen,
+# JCICS 1999, Table 1) — the reference's logP IS RDKit's Crippen MolLogP
+# (GCPG/utils/utils.py property computation), so these published types and
+# contributions are the parity target. Atom typing reimplements the SMARTS
+# patterns of RDKit's Crippen.txt as graph predicates, applied in the same
+# first-match order.
 
-# coarse Wildman-Crippen-style contributions per (symbol, aromatic, context)
+_CRIPPEN = {
+    "C1": 0.1441, "C2": 0.0, "C3": -0.2035, "C4": -0.2051, "C5": -0.2783,
+    "C6": 0.1551, "C7": 0.00170, "C8": 0.08452, "C9": -0.1444,
+    "C10": -0.0516, "C11": 0.1193, "C12": -0.0967, "C13": -0.5443,
+    "C14": 0.0, "C15": 0.245, "C16": 0.198, "C17": 0.0, "C18": 0.1581,
+    "C19": 0.2955, "C20": 0.2713, "C21": 0.136, "C22": 0.4619,
+    "C23": 0.5437, "C24": 0.1893, "C25": -0.8186, "C26": 0.2640,
+    "C27": 0.2148, "CS": 0.08129,
+    "H1": 0.1230, "H2": -0.2677, "H3": 0.2142, "H4": 0.2980, "HS": 0.1125,
+    "N1": -1.0190, "N2": -0.7096, "N3": -1.0270, "N4": -0.5188,
+    "N5": 0.08387, "N6": 0.1836, "N7": -0.3187, "N8": -0.4458,
+    "N9": 0.01508, "N10": -1.950, "N11": -0.3239, "N12": -1.119,
+    "N13": -0.3396, "N14": 0.2887, "NS": -0.4806,
+    "O1": 0.1552, "O2": -0.2893, "O3": -0.0684, "O4": 0.4833,
+    "O5": 0.0335, "O6": -0.3339, "O7": -1.189, "O8": 0.1788,
+    "O9": -0.1526, "O10": 0.1129, "O11": 0.4833, "O12": -1.326,
+    "OS": -0.1188,
+    "F": 0.4202, "Cl": 0.6895, "Br": 0.8456, "I": 0.8857,
+    "S1": 0.6482, "S2": -0.0024, "S3": 0.6237, "P": 0.8612,
+}
+
+_WC_HET = {"N", "O", "P", "S", "F", "Cl", "Br", "I"}  # [N,O,P,S,F,Cl,Br,I]
+_HALOGEN_TYPE = {"F": "C14", "Cl": "C15", "Br": "C16", "I": "C17"}
+
+
+def _wc_carbon_type(mol, i) -> str:
+    a = mol.atoms[i]
+    nh = mol.total_h(i)
+    nbrs = mol.neighbors(i)
+    sym = lambda j: mol.atoms[j].symbol  # noqa: E731
+    arom = lambda j: mol.atoms[j].aromatic  # noqa: E731
+
+    if a.aromatic:
+        arom_bonds = [bi for _, bi in nbrs if mol.bonds[bi].aromatic]
+        exo = [(n, mol.bonds[bi]) for n, bi in nbrs
+               if not mol.bonds[bi].aromatic]
+        # C13: [cH0] attached (non-aromatic bond) to an exotic atom
+        for n, b in exo:
+            if nh == 0 and b.order == 1 and not arom(n) and sym(n) not in (
+                    "C", "N", "O", "S", "F", "Cl", "Br", "I", "H"):
+                return "C13"
+        if nh == 0:
+            for n, b in exo:
+                if b.order == 1 and sym(n) in _HALOGEN_TYPE:
+                    return _HALOGEN_TYPE[sym(n)]
+        if nh >= 1:
+            return "C18"
+        if len(arom_bonds) >= 3:
+            return "C19"
+        # substituted aromatic carbon: type by the exocyclic neighbor
+        for n, b in exo:
+            if b.order == 1:
+                if arom(n):
+                    return "C20"
+                if sym(n) == "C":
+                    return "C21"
+                if sym(n) == "N":
+                    return "C22"
+                if sym(n) == "O":
+                    return "C23"
+                if sym(n) == "S":
+                    return "C24"
+            if b.order == 2 and sym(n) in ("C", "N", "O"):
+                return "C25"
+        return "CS"
+
+    multi = [(n, mol.bonds[bi]) for n, bi in nbrs if mol.bonds[bi].order > 1]
+    if not multi:
+        # sp3 carbon, first-match order C1..C4, C8..C12, C27, CS
+        all_c = all(sym(n) == "C" and not arom(n) for n, _ in nbrs)
+        if nh >= 2 and all_c:
+            return "C1"  # [CH4] [CH3]C [CH2](C)C
+        if nh <= 1 and all_c and nbrs:
+            return "C2"  # [CH](C)(C)C [C](C)(C)(C)C
+        het = any(sym(n) in _WC_HET and not arom(n) for n, _ in nbrs)
+        if het:
+            return "C3" if nh >= 2 else "C4"
+        if any(arom(n) for n, _ in nbrs):
+            if nh == 3:
+                other = next(n for n, _ in nbrs if arom(n))
+                return "C8" if sym(other) == "C" else "C9"
+            if nh == 2:
+                return "C10"
+            if nh == 1:
+                return "C11"
+            return "C12"
+        if any(sym(n) not in _WC_HET and sym(n) != "C" for n, _ in nbrs):
+            return "C27"  # attached to exotic element (Si, metal, ...)
+        return "CS"
+
+    # sp2 / sp aliphatic carbon
+    if any(b.order == 2 and not arom(n) and sym(n) != "C" for n, b in multi):
+        return "C5"  # [C]=[!C;A;!#1] — carbonyl / imine carbon
+    if any(b.order == 3 for _, b in multi):
+        return "C7"  # [CX2]#[A;!#1]
+    dbl_c = [(n, b) for n, b in multi if b.order == 2]
+    if dbl_c:
+        others = [(n, bi) for n, bi in nbrs
+                  if mol.bonds[bi].order == 1]
+        if any(arom(n) for n, b in dbl_c):
+            return "C26"  # [C]=c
+        if all(not arom(n) for n, _ in others):
+            return "C6"  # vinyl with aliphatic substituents
+        return "C26"  # [C](=C)(a)... / [CH1](=C)a
+    return "CS"
+
+
+def _wc_nitrogen_type(mol, i) -> str:
+    a = mol.atoms[i]
+    nh = mol.total_h(i)
+    nbrs = mol.neighbors(i)
+    arom = lambda j: mol.atoms[j].aromatic  # noqa: E731
+    if a.aromatic:
+        return "N11" if a.charge <= 0 else "N12"
+    orders = [mol.bonds[bi].order for _, bi in nbrs]
+    if a.charge > 0:
+        if nh >= 1:
+            return "N10"  # protonated amine
+        if 2 in orders or 3 in orders:
+            # nitro / iminium / diazo: [NH0;+](=A)(A)A -> N13, else N14
+            return "N13" if orders.count(2) >= 1 and len(nbrs) >= 2 else "N14"
+        return "N13"  # quaternary
+    if a.charge < 0:
+        return "N14"
+    if 3 in orders:
+        return "N9"  # nitrile
+    if 2 in orders:
+        # uncharged hypervalent nitro N(=O)=O also lands here -> N13-like,
+        # but Wildman-Crippen types the charged form; keep imine semantics
+        if orders.count(2) >= 2:
+            return "N13"
+        return "N5" if nh >= 1 else "N6"
+    has_arom_nbr = any(arom(n) for n, _ in nbrs)
+    if nh >= 2:
+        return "N3" if has_arom_nbr else "N1"
+    if nh == 1:
+        return "N4" if has_arom_nbr else "N2"
+    return "N8" if has_arom_nbr else "N7"
+
+
+def _wc_oxygen_type(mol, i) -> str:
+    a = mol.atoms[i]
+    nh = mol.total_h(i)
+    nbrs = mol.neighbors(i)
+    sym = lambda j: mol.atoms[j].symbol  # noqa: E731
+    arom = lambda j: mol.atoms[j].aromatic  # noqa: E731
+    if a.aromatic:
+        return "O1"
+    if nh >= 1 and a.charge == 0:
+        return "O2"  # [OH] [OH2]
+    heavy = [n for n, _ in nbrs]
+    dbl = [n for n, bi in nbrs if mol.bonds[bi].order == 2]
+    if a.charge < 0:
+        if any(sym(n) == "N" for n in heavy):
+            return "O5"
+        if any(sym(n) == "S" for n in heavy):
+            return "O6"
+        # carboxylate [O-]C(=O)
+        for n in heavy:
+            if sym(n) == "C" and any(
+                sym(n2) == "O" and mol.bonds[bi2].order == 2
+                for n2, bi2 in mol.neighbors(n)
+            ):
+                return "O12"
+        return "O7"
+    if dbl:
+        n = dbl[0]
+        if sym(n) in ("N", "O"):
+            return "O5"
+        if sym(n) == "S":
+            return "O6"
+        if sym(n) == "C":
+            if arom(n):
+                return "O8"  # [O]=c
+            c_nbrs = [(n2, bi2) for n2, bi2 in mol.neighbors(n) if n2 != i]
+            c_nh = mol.total_h(n)
+            subs = [sym(n2) for n2, _ in c_nbrs]
+            sub_arom = [arom(n2) for n2, _ in c_nbrs]
+            non_c = [s for s, ar in zip(subs, sub_arom)
+                     if s != "C" or ar]  # heteroatoms or aromatic
+            if all(s != "C" and s != "H" for s in subs) and len(subs) == 2 \
+                    and not any(sub_arom) \
+                    and all(s in _WC_HET for s in subs):
+                return "O11"  # [O]=C([!C])[!C] — carbamate/carbonate
+            if any(ar for ar in sub_arom):
+                return "O10"  # [O]=C(...)c — aryl carbonyl
+            return "O9"  # aliphatic aldehyde/ketone/acid/ester/amide C=O
+        return "OS"
+    if len(heavy) == 2:
+        if any(arom(n) for n in heavy):
+            return "O4"  # [O](a)[!#1]
+        if all(sym(n) == "C" or sym(n) in _WC_HET for n in heavy) and \
+                all(not arom(n) for n in heavy):
+            return "O3"  # aliphatic ether
+    return "OS"
+
+
+def _wc_hydrogen_type(mol, i) -> str:
+    """Type of the hydrogens attached to heavy atom i (first-match H1..H4)."""
+    s = mol.atoms[i].symbol
+    if s == "C":
+        return "H1"
+    if s == "N":
+        return "H3"
+    if s == "O":
+        nbrs = [n for n, _ in mol.neighbors(i)]
+        for n in nbrs:
+            sym_n = mol.atoms[n].symbol
+            if sym_n == "C":
+                if mol.atoms[n].aromatic:
+                    return "H2"  # [#1]Oc (phenol)
+                orders = [mol.bonds[bi].order for _, bi in mol.neighbors(n)]
+                if all(o == 1 for o in orders):
+                    return "H2"  # [#1]O[CX4]
+                # [#1]OC=[C,N,O,S] — acid / enol
+                for n2, bi2 in mol.neighbors(n):
+                    if mol.bonds[bi2].order == 2 and \
+                            mol.atoms[n2].symbol in ("C", "N", "O", "S"):
+                        return "H4"
+                return "H2"
+            if sym_n == "N":
+                return "H3"  # [#1]O[#7]
+            if sym_n in ("O", "S"):
+                return "H4"  # [#1]O[O,S]
+        return "H2"  # water, H-O-[P,...]
+    return "H2"  # [#1][!C;!N;!O] — thiol etc.
+
+
 def crippen_logp(m) -> float:
+    """Wildman-Crippen logP (= RDKit MolLogP). Validated against published
+    RDKit values in tests/test_descriptors.py::test_golden_crippen_rdkit."""
     mol = _as_mol(m)
     if mol is None:
         return float("nan")
     total = 0.0
     for i, a in enumerate(mol.atoms):
         s = a.symbol
-        nh = mol.total_h(i)
-        het = sum(
-            1 for nb in mol.heavy_neighbors(i)
-            if mol.atoms[nb].symbol not in ("C", "H")
-        )
         if s == "C":
-            if a.aromatic:
-                total += 0.29 if het == 0 else 0.14
-            else:
-                has_pi = any(mol.bonds[bi].order > 1 for _, bi in mol.neighbors(i))
-                if het > 0:
-                    total += -0.03 if not has_pi else -0.10
-                else:
-                    total += 0.14 if not has_pi else 0.08
-            total += 0.123 * nh  # hydrogens on carbon
+            t = _wc_carbon_type(mol, i)
         elif s == "N":
-            if a.charge > 0:
-                total += -1.95
-            elif a.aromatic:
-                total += -0.49
-            else:
-                total += -0.60 - 0.20 * nh
+            t = _wc_nitrogen_type(mol, i)
         elif s == "O":
-            if a.aromatic:
-                total += 0.11
-            else:
-                dbl_to = [
-                    mol.atoms[nb].symbol
-                    for nb, bi in mol.neighbors(i)
-                    if mol.bonds[bi].order == 2
-                ]
-                if any(t in ("S", "N", "P") for t in dbl_to):
-                    total += -1.326  # oxide O (Wildman-Crippen O12: S=O, N-oxide)
-                elif dbl_to:
-                    total += -0.12
-                else:
-                    total += -0.40 if nh > 0 else -0.25
+            t = _wc_oxygen_type(mol, i)
         elif s == "S":
-            total += 0.65
+            t = "S3" if a.aromatic else ("S1" if a.charge == 0 else "S2")
+        elif s in ("F", "Cl", "Br", "I"):
+            t = s if a.charge == 0 else None
         elif s == "P":
-            total += 0.86
-        elif s == "F":
-            total += 0.42
-        elif s == "Cl":
-            total += 0.71
-        elif s == "Br":
-            total += 0.89
-        elif s == "I":
-            total += 1.05
+            t = "P"
         else:
-            total += 0.0
+            t = None
+        if t is not None:
+            total += _CRIPPEN[t]
+        nh = mol.total_h(i)
+        if nh:
+            total += nh * _CRIPPEN[_wc_hydrogen_type(mol, i)]
     return total
 
 

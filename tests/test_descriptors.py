@@ -155,10 +155,47 @@ def test_golden_logp():
     for smi, name, _, _, lp in GOLDEN:
         got = d.crippen_logp(smi)
         devs.append(abs(got - lp))
-        assert abs(got - lp) < 2.0, (name, got, lp)
-    # measured 0.51 on this set; the tail (hexane, glycine) is
-    # XLogP3-vs-Crippen model divergence, not implementation error
-    assert sum(devs) / len(devs) < 0.6, sum(devs) / len(devs)
+        # glycine: Crippen -0.97 vs XLogP3 -3.2 is pure model divergence
+        # (XLogP3 corrects for the zwitterion; RDKit's Crippen gives the
+        # same -0.97) — the Crippen typing itself is exact, see
+        # test_golden_crippen_rdkit.
+        tol = 2.4 if name == "glycine" else 2.0
+        assert abs(got - lp) < tol, (name, got, lp)
+    # XLogP3-vs-Crippen model divergence dominates the residual (hexane,
+    # glycine, S-oxides); the typing is checked exactly in
+    # test_golden_crippen_rdkit
+    assert sum(devs) / len(devs) < 0.65, sum(devs) / len(devs)
+
+
+# Published RDKit Crippen MolLogP values (the reference's own logP — GCPG
+# computes conditions with RDKit). These check the Wildman-Crippen atom
+# typing exactly, independent of the XLogP3-model drift documented above.
+GOLDEN_CRIPPEN = [
+    ("c1ccccc1", "benzene", 1.6866),
+    ("CCO", "ethanol", -0.0014),
+    ("CC(=O)O", "acetic acid", 0.0909),
+    ("Oc1ccccc1", "phenol", 1.3922),
+    ("Nc1ccccc1", "aniline", 1.2688),
+    ("c1ccncc1", "pyridine", 1.0816),
+    ("O", "water", -0.8247),
+    # hand-derived from the published Table 1 contributions (typing checks)
+    ("Cc1ccccc1", "toluene", 1.99502),        # C8+C21+5*C18+8*H1
+    ("c1ccc2ccccc2c1", "naphthalene", 2.8398),  # 8*C18+2*C19+8*H1
+    ("CC(C)=O", "acetone", 0.5953),           # 2*C1+C5+O9+6*H1
+    ("CCCCCC", "hexane", 2.5866),             # 6*C1+14*H1
+    ("CC#N", "acetonitrile", 0.52988),        # C1+C7+N9+3*H1
+    ("C=C", "ethylene", 0.8022),              # 2*C6+4*H1
+    ("CCOCC", "diethyl ether", 1.0428),       # 2*C1+2*C3+O3+10*H1
+    ("C1CCOC1", "THF", 0.7968),               # 2*C1+2*C3+O3+8*H1
+    ("CS", "methanethiol", 0.5460),           # C3+S1+3*H1+H2(SH)
+    ("Clc1ccccc1", "chlorobenzene", 2.34060),  # C15+5*C18+5*H1+Cl
+]
+
+
+def test_golden_crippen_rdkit():
+    for smi, name, ref in GOLDEN_CRIPPEN:
+        got = d.crippen_logp(smi)
+        assert abs(got - ref) < 1e-3, (name, got, ref)
 
 
 def test_golden_qed_sa_ranges():
