@@ -316,12 +316,13 @@ class EquivariantBlock(nn.Module):
 
     @nn.compact
     def __call__(self, h, x, dist0, edge_mask, node_mask, update_coords_mask,
-                 nbr=None, update_rows=None):
+                 nbr=None, update_rows=None, x_j=None):
         cfg = self.cfg
         if nbr is None:
             radial, coord_diff = coord2diff(x, cfg.norm_constant)
         else:
-            x_j = gather_nodes(x, nbr.astype(x.dtype))
+            if x_j is None:
+                x_j = gather_nodes(x, nbr.astype(x.dtype))
             diff = x[..., :, None, :] - x_j
             radial = jnp.sum(diff**2, axis=-1, keepdims=True)
             coord_diff = diff / (jnp.sqrt(radial + 1e-8) + cfg.norm_constant)
@@ -396,10 +397,31 @@ class EGNN(nn.Module):
             nn.remat(EquivariantBlock, static_argnums=(8,))
             if self.remat else EquivariantBlock
         )
+        # Delta coordinate gather: with a neighbor list and a statically
+        # known movable prefix (update_rows), only rows [:r] of x change
+        # across blocks (EquivariantUpdate zero-pads receivers beyond r).
+        # Gathers are linear, so each block's x_j is the entry gather plus
+        # a tiny [B,N,K,r] x [B,r,3] einsum over the movable delta — the
+        # per-block [B,N,K,N] one-hot read (the dominant radial-path HBM
+        # traffic) is paid once instead of n_layers times. Exact up to one
+        # extra f32 add per element.
+        delta_gather = nbr is not None and update_rows is not None
+        if delta_gather:
+            nbr_x = nbr.astype(x.dtype)
+            x_j_base = gather_nodes(x, nbr_x)
+            nbr_mov = nbr_x[..., : update_rows]
+            x0_mov = x[..., : update_rows, :]
         for i in range(cfg.n_layers):
+            if delta_gather:
+                x_j = x_j_base + jnp.einsum(
+                    "bikr,brd->bikd", nbr_mov,
+                    x[..., : update_rows, :] - x0_mov,
+                )
+            else:
+                x_j = None
             h, x = block_cls(cfg, coords_range_layer, name=f"e_block_{i}")(
                 h, x, dist0, edge_mask, node_mask, update_coords_mask, nbr,
-                update_rows,
+                update_rows, x_j,
             )
         h = nn.Dense(self.out_node_nf, dtype=dt, name="embedding_out")(h)
         h = h * node_mask[..., None]
