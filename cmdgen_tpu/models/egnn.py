@@ -221,7 +221,17 @@ class GCL(nn.Module):
         mij = nn.Dense(cfg.hidden_nf, dtype=dt, name="edge_out")(mij)
         mij = nn.silu(mij)
         if cfg.attention:
-            att = nn.sigmoid(nn.Dense(1, dtype=dt, name="att")(mij))
+            # The attention gate is a 1-column Dense over mij; as an nn.Dense
+            # it lowers to a matvec pass that re-reads the [B,N,J,H] message
+            # tensor from HBM. Written as an explicit mul+reduce it is an
+            # elementwise fusion XLA folds into the same loop as the gating
+            # and the masked aggregation below — one read of mij instead of
+            # three. Same params under the same tree path, same algebra.
+            ka, ba = _DenseParams(1, cfg.hidden_nf, name="att")()
+            att = nn.sigmoid(
+                jnp.sum(mij * ka[:, 0].astype(dt), axis=-1, keepdims=True)
+                + ba.astype(dt)
+            )
             mij = mij * att
         agg = _aggregate(mij, edge_mask, cfg)
         # node model: residual MLP over [h, agg]. The concat-then-Dense is
@@ -408,7 +418,7 @@ class EGNN(nn.Module):
         delta_gather = nbr is not None and update_rows is not None
         if delta_gather:
             nbr_x = nbr.astype(x.dtype)
-            x_j_base = gather_nodes(x, nbr_x)
+            x_j_base = x_j0  # entry gather, shared with dist0 (same operands)
             nbr_mov = nbr_x[..., : update_rows]
             x0_mov = x[..., : update_rows, :]
         for i in range(cfg.n_layers):
