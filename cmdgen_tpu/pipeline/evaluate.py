@@ -142,8 +142,10 @@ def eval_alignment_rmsd_posed(
     (only the finite values, L539-547) when ``out_dir`` is given.
 
     Deviations from the reference, documented:
-    - bond perception uses the EDM distance tables (chem/mol_build.py)
-      instead of Chem.MolFromPDBFile;
+    - bond perception uses the library-free OpenBabel-equivalent path
+      (chem/mol_build.py build_molecule: covalent-radius connectivity +
+      valence-gated order perception) instead of Chem.MolFromPDBFile —
+      both are distance-based proximity perception on the pose geometry;
     - the RMSD compares the aligned conformer against the *actual pose
       coordinates* after Kabsch superposition. The reference re-embeds BOTH
       molecules with fresh RDKit conformers and subtracts them without
@@ -152,7 +154,7 @@ def eval_alignment_rmsd_posed(
     """
     import jax
 
-    from cmdgen_tpu.chem.mol_build import make_mol
+    from cmdgen_tpu.chem.mol_build import build_molecule
     from cmdgen_tpu.chem.pdb import ligand_atoms, parse_pdb
     from cmdgen_tpu.ops.kabsch import aligned_rmsd
     from cmdgen_tpu.pipeline.align import align_molecule, load_pp_points
@@ -178,7 +180,7 @@ def eval_alignment_rmsd_posed(
                 raise ValueError(f"no ligand atoms in {path}")
             symbols = [a.element for a in atoms]
             pose = np.stack([a.coord for a in atoms])
-            mol = make_mol(symbols, pose)
+            mol = build_molecule(symbols, pose)
             rng, sub = jax.random.split(rng)
             res = align_molecule(
                 mol, pp_coords, pp_types, sub,
