@@ -165,6 +165,14 @@ class GCPGTrainConfig:
     condition_gate: Tuple[int, ...] = (1, 1, 1, 1, 1, 0, 0)
     save_freq: int = 4  # checkpoint every N epochs (train_chembl33_baseline.py:601)
     seed: int = 42
+    # device-resident dataset mode (mirrors DiffPharTrainConfig.resident_data):
+    # precompute `resident_variants` augmentation draws per molecule
+    # (randomized SMILES + span corruption + SUS pp-graph sampling), stack
+    # them compactly in HBM, and run each epoch as one on-device scan with
+    # jnp.take batch gather — one host fetch per epoch instead of per step
+    # (the host-fed loop is transfer/latency-bound over a tunnelled TPU).
+    resident_data: str = "auto"  # 'auto' | 'on' | 'off'
+    resident_variants: int = 8
 
 
 def _to_dict(obj) -> Any:

@@ -282,3 +282,56 @@ class GCPGSmilesDataset:
             batch = self.padded_batch(idx)
             if batch is not None:
                 yield batch
+
+    def stacked_variants(self, n_variants: int, tries: int = 3) -> Optional[dict]:
+        """Materialize the whole corpus as ``n_variants`` pre-drawn
+        augmentation variants per molecule, stacked for device residency.
+
+        Each variant is one full draw of the per-epoch randomness
+        (randomized input SMILES, Poisson span corruption, SUS pp-graph
+        subsampling — everything ``get_item`` redraws), so training that
+        samples variants uniformly sees the same augmentation *distribution*
+        as the host-fed loop, reusing each concrete draw ~n_epochs/R times
+        (documented approximation of the reference's fresh per-epoch
+        regeneration, train_chembl33_baseline.py dataloader).
+
+        Compact dtypes keep HBM residency cheap: tokens i16 (vocab ≪ 2^15),
+        mapping i8 (values in {-100, 0, 1}); ``input_valid`` is dropped and
+        reconstructed on device as ``inputs != PAD`` (PAD never appears
+        inside a live prefix). Returns a dict of [V, ...] arrays with
+        V = n_valid_molecules * n_variants, or None if nothing parses.
+        """
+        s = self.max_len
+        pad = self.tokenizer.PAD
+        rows = {"inputs": [], "targets": [], "mapping": [], "pp_h": [],
+                "pp_e": [], "pp_mask": [], "props": []}
+        for i in range(len(self)):
+            variants = []
+            for _ in range(n_variants * tries):
+                item = self.get_item(i)
+                if item is not None:
+                    variants.append(item)
+                if len(variants) == n_variants:
+                    break
+            if not variants:
+                continue  # molecule never parses/fits: skip (counted by caller)
+            n_drawn = len(variants)
+            while len(variants) < n_variants:
+                variants.append(variants[len(variants) % n_drawn])
+            for x in variants:
+                inp = np.full((s,), pad, np.int16)
+                tgt = np.full((s,), pad, np.int16)
+                mp = np.full((s, MAX_NUM_PP_GRAPHS), -100, np.int8)
+                inp[: len(x["input"])] = x["input"]
+                tgt[: len(x["target"])] = x["target"]
+                mp[: len(x["target"])] = x["mapping"].astype(np.int8)
+                rows["inputs"].append(inp)
+                rows["targets"].append(tgt)
+                rows["mapping"].append(mp)
+                rows["pp_h"].append(x["pp_h"])
+                rows["pp_e"].append(x["pp_e"])
+                rows["pp_mask"].append(x["pp_mask"])
+                rows["props"].append(x["props"])
+        if not rows["inputs"]:
+            return None
+        return {k: np.stack(v) for k, v in rows.items()}

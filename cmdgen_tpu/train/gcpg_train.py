@@ -122,6 +122,53 @@ def make_gcpg_train_step(
     return step
 
 
+def make_gcpg_multistep_resident(
+    model: GCPG, optimizer: optax.GradientTransformation,
+    condition_gate: Tuple[int, ...], pad_id: int, grad_clip: float = 5.0,
+):
+    """Device-resident epoch runner (the GCPG twin of
+    train/state.py:make_diffusion_multistep_resident): the stacked variant
+    corpus (data/dataset.py GCPGSmilesDataset.stacked_variants) lives in
+    HBM, and one call scans a whole [K, B] index plan, gathering each batch
+    on device with ``jnp.take`` and reconstructing the full-precision batch
+    (i16→i32 tokens, i8→f32 mapping, valid = inputs != PAD) in registers.
+    Host↔device traffic per call: a few KB of indices in, one stacked
+    metrics pytree out — the host-fed loop pays per-step transfers AND a
+    per-step blocking loss fetch, which dominate wall clock over a
+    tunnelled TPU.
+
+    multistep(params, opt_state, rng, data, idx, beta)
+      -> (params, opt_state, metrics [K])
+    """
+    step = make_gcpg_train_step(model, optimizer, condition_gate, grad_clip)
+
+    def multistep(params, opt_state, rng, data, idx, beta):
+        def body(carry, idx_b):
+            p, o, key = carry
+            take = lambda a: jnp.take(a, idx_b, axis=0)
+            inputs = take(data["inputs"]).astype(jnp.int32)
+            batch = {
+                "inputs": inputs,
+                "input_valid": (inputs != pad_id).astype(jnp.float32),
+                "targets": take(data["targets"]).astype(jnp.int32),
+                "pp_h": take(data["pp_h"]),
+                "pp_e": take(data["pp_e"]),
+                "pp_mask": take(data["pp_mask"]),
+                "mapping": take(data["mapping"]).astype(jnp.float32),
+                "props": take(data["props"]),
+            }
+            key, sub = jax.random.split(key)
+            p, o, metrics = step(p, o, sub, batch, beta)
+            return (p, o, key), metrics
+
+        (params, opt_state, _), metrics = jax.lax.scan(
+            body, (params, opt_state, rng), idx
+        )
+        return params, opt_state, metrics
+
+    return multistep
+
+
 def gcpg_optimizer(cfg: GCPGTrainConfig, steps_per_epoch: int = 1000):
     """AdamW + CosineAnnealingLR(T_max) (train_chembl33_baseline.py:525-528)."""
     schedule = optax.cosine_decay_schedule(
@@ -180,6 +227,20 @@ def train_gcpg(
         )
     )
 
+    # Device residency: ~bytes of the stacked variant corpus; auto-on below
+    # 1.5 GB (HBM is 16 GB; the model + optimizer need a small fraction).
+    # max_steps runs (smoke tests) keep the host-fed loop — its step
+    # granularity is what max_steps means.
+    n_variants = getattr(train_cfg, "resident_variants", 8)
+    est_bytes = len(data) * n_variants * (
+        model_cfg.max_len * (2 + 2 + 8) + 8 * 8 * 4 * 2 + 8 * 4 + 9 * 4
+    )
+    resident_mode = getattr(train_cfg, "resident_data", "auto")
+    resident = max_steps is None and (
+        resident_mode == "on"
+        or (resident_mode == "auto" and est_bytes <= (3 << 29))
+    )
+
     rng = jax.random.PRNGKey(train_cfg.seed)
     first = None
     for batch in data.iter_batches(min(train_cfg.batch_size, len(data))):
@@ -199,24 +260,62 @@ def train_gcpg(
 
     from cmdgen_tpu.data.prefetch import prefetch
 
+    resident_data = None
+    if resident:
+        stacked = data.stacked_variants(n_variants)
+        if stacked is None:
+            resident = False
+        else:
+            resident_data = {k: jnp.asarray(v) for k, v in stacked.items()}
+            n_rows = int(stacked["inputs"].shape[0])
+            multistep_fn = jax.jit(
+                make_gcpg_multistep_resident(
+                    model, optimizer, train_cfg.condition_gate,
+                    int(tokenizer.PAD), train_cfg.grad_clip,
+                )
+            )
+            idx_rng = np.random.RandomState(train_cfg.seed + 1)
+
     beta_it = default_beta_schedule(train_cfg)
     step = 0
     for epoch in range(train_cfg.n_epochs):
         beta = next(beta_it)
-        losses = []
-        for batch in prefetch(data.iter_batches(train_cfg.batch_size)):
-            jb = {k: jnp.asarray(v) for k, v in batch.items()}
+        if resident:
+            idx = idx_rng.randint(
+                0, n_rows, size=(steps_per_epoch, train_cfg.batch_size)
+            ).astype(np.int32)
             rng, sub = jax.random.split(rng)
-            params, opt_state, metrics = step_fn(
-                params, opt_state, sub, jb, beta
+            params, opt_state, metrics = multistep_fn(
+                params, opt_state, sub, resident_data, jnp.asarray(idx),
+                jnp.float32(beta),
             )
-            losses.append(float(metrics["loss"]))
-            step += 1
-            if step % 100 == 0:
-                log_fn(step, {k: float(v) for k, v in metrics.items()})
-            if max_steps and step >= max_steps:
-                break
-        mean_loss = float(np.mean(losses)) if losses else float("nan")
+            step += steps_per_epoch
+            losses = np.asarray(metrics["loss"])  # one fetch per epoch
+            log_fn(step, {k: float(np.asarray(v)[-1])
+                          for k, v in metrics.items()})
+            mean_loss = float(np.mean(losses))
+        else:
+            losses = []
+            for batch in prefetch(data.iter_batches(train_cfg.batch_size)):
+                jb = {k: jnp.asarray(v) for k, v in batch.items()}
+                rng, sub = jax.random.split(rng)
+                params, opt_state, metrics = step_fn(
+                    params, opt_state, sub, jb, beta
+                )
+                # keep metrics on device: a float() here would block the
+                # dispatch pipeline on a device->host sync every step
+                losses.append(metrics["loss"])
+                step += 1
+                if step % 100 == 0:
+                    log_fn(step, {k: float(v) for k, v in metrics.items()})
+                if max_steps and step >= max_steps:
+                    break
+            # one stacked fetch, not one device->host RPC per step
+            losses = (
+                [float(v) for v in np.asarray(jnp.stack(losses))]
+                if losses else []
+            )
+            mean_loss = float(np.mean(losses)) if losses else float("nan")
         log_fn(step, {"epoch": epoch, "beta": beta, "loss/train": mean_loss})
         if gen_eval_every and (epoch + 1) % gen_eval_every == 0:
             # in-training generation quality (train_chembl33_baseline.py:319)

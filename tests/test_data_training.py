@@ -263,6 +263,75 @@ def test_gcpg_dataset_and_train_step():
     assert losses[-1] < losses[0]
 
 
+def test_gcpg_resident_multistep_matches_host_step():
+    """The device-resident scan path must reproduce the host-fed step
+    exactly: same batch content (via stacked_variants of a deterministic
+    dataset), same key flow, bit-identical parameter update on CPU f32."""
+    smiles = ["CCO", "CC(=O)O", "c1ccccc1", "CC(C)CO", "CCN", "CCOC"]
+    props = {"MW": [46.0] * 6, "logP": [0.2] * 6}
+    tok = Tokenizer(gen_vocabs(smiles))
+    # deterministic items => stacked row i == padded_batch([i]) content
+    data = ds.GCPGSmilesDataset(
+        smiles, props, tok, max_len=16,
+        use_random_input_smiles=False, corrupt=False, seed=0,
+    )
+    stacked = data.stacked_variants(1)
+    assert stacked is not None and stacked["inputs"].shape[0] == 6
+    batch = data.padded_batch(list(range(6)))
+    np_batch = {k: jnp.asarray(v) for k, v in batch.items()}
+    # compact-dtype reconstruction matches the host batch exactly
+    np.testing.assert_array_equal(stacked["inputs"], batch["inputs"])
+    np.testing.assert_array_equal(stacked["targets"], batch["targets"])
+    np.testing.assert_array_equal(
+        stacked["mapping"].astype(np.float32), batch["mapping"]
+    )
+    np.testing.assert_array_equal(
+        (stacked["inputs"] != tok.PAD).astype(np.float32),
+        batch["input_valid"],
+    )
+
+    model = GCPG(
+        cfgmod.GCPGModelConfig(
+            max_len=16, hidden_dim=32, n_layers=1, ff_dim=32, n_head=4,
+            pp_encoder_n_layer=1, dropout=0.1,
+        ),
+        vocab_size=len(tok),
+    )
+    params = model.init(
+        jax.random.PRNGKey(0), jax.random.PRNGKey(1),
+        np_batch["inputs"], np_batch["input_valid"],
+        np_batch["pp_h"], np_batch["pp_e"], np_batch["pp_mask"],
+        np_batch["targets"], np_batch["props"][:, :7],
+    )
+    tcfg = cfgmod.GCPGTrainConfig()
+    optimizer = gcpg_train.gcpg_optimizer(tcfg, steps_per_epoch=10)
+    step = jax.jit(
+        gcpg_train.make_gcpg_train_step(model, optimizer, tcfg.condition_gate)
+    )
+    multistep = jax.jit(
+        gcpg_train.make_gcpg_multistep_resident(
+            model, optimizer, tcfg.condition_gate, int(tok.PAD)
+        )
+    )
+    opt_state = optimizer.init(params)
+    rng = jax.random.PRNGKey(7)
+    resident_data = {k: jnp.asarray(v) for k, v in stacked.items()}
+    idx = jnp.arange(6, dtype=jnp.int32)[None, :]  # one scan step, batch 0..5
+    p_res, o_res, metrics = multistep(
+        params, opt_state, rng, resident_data, idx, jnp.float32(3e-4)
+    )
+    # replicate the scan body's key derivation for the host step
+    _, sub = jax.random.split(rng)
+    p_host, o_host, m_host = step(params, opt_state, sub, np_batch, 3e-4)
+    assert np.allclose(
+        float(metrics["loss"][0]), float(m_host["loss"]), atol=0, rtol=0
+    )
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_array_equal(np.asarray(a), np.asarray(b)),
+        p_res, p_host,
+    )
+
+
 def test_bucketed_batches(tiny_crossdocked):
     out, _ = tiny_crossdocked
     d = ds.DiffPharDataset(out / "train.npz")
