@@ -305,6 +305,14 @@ def _add_train_gcpg(sub):
     p.add_argument("--finetune-from", default=None)
     p.add_argument("--score-only-gate", action="store_true",
                    help="docking-finetune condition gate [0,0,0,0,0,1,0]")
+    p.add_argument("--legacy-no-condition", action="store_true",
+                   help="PGMG-style unconditional baseline (the reference's "
+                        "legacy ChEMBL24 run, train_chembl_baseline.py: a "
+                        "model with no property head). Zero condition gate "
+                        "+ zero condition inputs: the learned cond token "
+                        "degenerates to a constant, behaviorally a model "
+                        "without the condition input. Skips descriptor "
+                        "computation (the legacy script computes none).")
 
     def run(args):
         import dataclasses
@@ -312,14 +320,25 @@ def _add_train_gcpg(sub):
         from cmdgen_tpu.config import GCPGModelConfig, GCPGTrainConfig
         from cmdgen_tpu.train.gcpg_train import FINETUNE_GATE, train_gcpg
 
-        smiles, props = _read_smiles_and_props(
-            args.smiles_file, args.props_json
-        )
+        if args.legacy_no_condition:
+            from cmdgen_tpu.data.dataset import PROPERTY_KEYS
+
+            smiles = [
+                s for s in
+                Path(args.smiles_file).read_text().strip().split("\n") if s
+            ]
+            props = {k: [0.0] * len(smiles) for k in PROPERTY_KEYS}
+        else:
+            smiles, props = _read_smiles_and_props(
+                args.smiles_file, args.props_json
+            )
         tcfg = GCPGTrainConfig(
             batch_size=args.batch_size, n_epochs=args.epochs,
         )
         if args.score_only_gate:
             tcfg = dataclasses.replace(tcfg, condition_gate=FINETUNE_GATE)
+        if args.legacy_no_condition:
+            tcfg = dataclasses.replace(tcfg, condition_gate=(0,) * 7)
         from cmdgen_tpu.utils.logging import MetricsLogger
 
         logger = MetricsLogger(args.out_dir, "gcpg")
