@@ -201,9 +201,41 @@ class ConditionalDDPM:
         Returns (nll [B], info dict).
         """
         cfg = self.cfg
-        nd = cfg.n_dims
         b = phar.batch
         k_t, k_eps, k_eps0 = jax.random.split(rng, 3)
+        lowest_t = 0 if training else 1
+        t_int = sample_t_int(
+            k_t, b, lowest_t, cfg.timesteps, stratified=cfg.stratified_t
+        )
+        shape = (*phar.mask.shape, cfg.n_dims + self.phar_nf)
+        eps = jax.random.normal(k_eps, shape) * phar.mask[..., None]
+        eps0 = jax.random.normal(k_eps0, shape) * phar.mask[..., None]
+        return self.loss_given_noise(
+            params, phar, pocket, t_int, eps, eps0, training
+        )
+
+    def loss_given_noise(
+        self,
+        params,
+        phar: PointCloud,
+        pocket: PointCloud,
+        t_int: jnp.ndarray,
+        eps: jnp.ndarray,
+        eps0: jnp.ndarray,
+        training: bool = True,
+        return_terms: bool = False,
+    ) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
+        """Deterministic half of :meth:`loss`: the NLL given explicit
+        per-sample timesteps ``t_int`` [B] and standard-normal draws
+        ``eps``/``eps0`` [B, N, n_dims+phar_nf] (``eps0`` is only read on
+        the eval path's second t=0 forward). Split out so the reference-
+        transplant parity test (tests/test_reference_parity.py) can drive
+        identical randomness through this and the reference's
+        conditional_model.py:198-320. ``return_terms`` adds the raw
+        per-sample loss terms to the info dict."""
+        cfg = self.cfg
+        nd = cfg.n_dims
+        b = phar.batch
 
         phar = self.normalize(phar)
         pocket = self.normalize(pocket)
@@ -217,10 +249,7 @@ class ConditionalDDPM:
         n_phar = phar.size
         delta_log_px = -self.subspace_dim(n_phar) * math.log(cfg.norm_x)
 
-        lowest_t = 0 if training else 1
-        t_int = sample_t_int(
-            k_t, b, lowest_t, cfg.timesteps, stratified=cfg.stratified_t
-        )
+        t_int = jnp.asarray(t_int, jnp.float32)
         s_int = t_int - 1.0
         t_is_zero = (t_int == 0).astype(jnp.float32)
         t_is_not_zero = 1.0 - t_is_zero
@@ -237,7 +266,6 @@ class ConditionalDDPM:
 
         # q(z_t | x): noise only the pharmacophore nodes
         alpha_t, sigma_t = sch.alpha(gamma_t), sch.sigma(gamma_t)
-        eps = jax.random.normal(k_eps, xh0_phar.shape) * phar.mask[..., None]
         z_t = _inflate(alpha_t) * xh0_phar + _inflate(sigma_t) * eps
         z_t_x, xh_pocket_x = self._center(
             z_t[..., :nd], xh0_pocket[..., :nd], phar.mask, pocket.mask
@@ -273,7 +301,6 @@ class ConditionalDDPM:
             # second forward pass at t=0 for a lower-variance L0 estimate
             gamma_0 = jnp.broadcast_to(self._gamma0(params), (b,))
             a0, s0 = sch.alpha(gamma_0), sch.sigma(gamma_0)
-            eps0 = jax.random.normal(k_eps0, xh0_phar.shape) * phar.mask[..., None]
             z_0 = _inflate(a0) * xh0_phar + _inflate(s0) * eps0
             z_0_x, xh_pocket0_x = self._center(
                 z_0[..., :nd], xh0_pocket[..., :nd], phar.mask, pocket.mask
@@ -319,6 +346,18 @@ class ConditionalDDPM:
                 / (nd * jnp.maximum(n_phar, 1.0))
             ),
         }
+        if return_terms:
+            info["terms"] = {
+                "delta_log_px": delta_log_px,
+                "error_t": error_t,
+                "snr_weight": snr_weight,
+                "loss0_x": loss0_x,
+                "loss0_h": loss0_h,
+                "neg_log_constants": neg_log_constants,
+                "kl_prior": kl_prior,
+                "log_pN": log_pN,
+                "t_int": t_int,
+            }
         return nll, info
 
     def _kl_prior(self, params, xh0_phar, mask_phar, n_phar):
@@ -363,9 +402,14 @@ class ConditionalDDPM:
     # ------------------------------------------------------------- sampling
 
     def _denoise_step(
-        self, params, rng, z_phar, xh_pocket, s_int, t_int, phar_mask, pocket_mask
+        self, params, rng, z_phar, xh_pocket, s_int, t_int, phar_mask,
+        pocket_mask, noise=None,
     ):
-        """One reverse step z_t -> z_s (conditional_model.py:342-386)."""
+        """One reverse step z_t -> z_s (conditional_model.py:342-386).
+
+        ``noise``, when given, replaces the standard-normal draw (used by
+        the reference-transplant parity test to feed both implementations
+        the same randomness; ``rng`` is then unread)."""
         cfg = self.cfg
         nd = cfg.n_dims
         b = z_phar.shape[0]
@@ -385,6 +429,10 @@ class ConditionalDDPM:
             sigma2_ts / alpha_ts / sigma_t
         ) * eps_hat
         sigma = sigma_ts * sigma_s / sigma_t
+        if noise is not None:
+            return self._normal_zero_com_eps(
+                noise, mu, xh_pocket, sigma, phar_mask, pocket_mask
+            )
         return self._sample_normal_zero_com(
             rng, mu, xh_pocket, sigma, phar_mask, pocket_mask
         )

@@ -175,19 +175,42 @@ class JointDDPM:
         """Joint NLL terms (en_diffusion.py:337-465 + the l2/vlb assembly in
         lightning_modules.py:196-231 with both error terms)."""
         cfg = self.cfg
+        b = phar.batch
+        k_t, k_eps, k_eps0 = jax.random.split(rng, 3)
+        lowest_t = 0 if training else 1
+        t_int = sample_t_int(
+            k_t, b, lowest_t, cfg.timesteps, stratified=cfg.stratified_t
+        )
+        eps_p, eps_q = self._sample_joint_noise(k_eps, phar.mask, pocket.mask)
+        eps0_p, eps0_q = self._sample_joint_noise(
+            k_eps0, phar.mask, pocket.mask
+        )
+        return self.loss_given_noise(
+            params, phar, pocket, t_int, eps_p, eps_q, eps0_p, eps0_q,
+            training,
+        )
+
+    def loss_given_noise(
+        self, params, phar: PointCloud, pocket: PointCloud,
+        t_int, eps_p, eps_q, eps0_p, eps0_q,
+        training: bool = True, return_terms: bool = False,
+    ):
+        """Deterministic half of :meth:`loss`: the NLL given explicit
+        per-sample timesteps ``t_int`` [B] and CoM-projected joint noise
+        draws (``eps0_*`` only read on the eval path's second t=0 forward,
+        en_diffusion.py:423-443). Split out so the reference-transplant
+        parity test can drive identical randomness through both
+        implementations."""
+        cfg = self.cfg
         nd = cfg.n_dims
         b = phar.batch
-        k_t, k_eps = jax.random.split(rng)
 
         phar = self.normalize(phar)
         pocket = self.normalize(pocket)
         n_total = phar.size + pocket.size
         delta_log_px = -self.subspace_dim(n_total) * math.log(cfg.norm_x)
 
-        lowest_t = 0 if training else 1
-        t_int = sample_t_int(
-            k_t, b, lowest_t, cfg.timesteps, stratified=cfg.stratified_t
-        )
+        t_int = jnp.asarray(t_int, jnp.float32)
         t_is_zero = (t_int == 0).astype(jnp.float32)
         gamma_s = self._gamma_at_int(params, t_int - 1.0)
         gamma_t = self._gamma_at_int(params, t_int)
@@ -196,7 +219,6 @@ class JointDDPM:
         xh_pocket = pocket.xh
 
         alpha_t, sigma_t = sch.alpha(gamma_t), sch.sigma(gamma_t)
-        eps_p, eps_q = self._sample_joint_noise(k_eps, phar.mask, pocket.mask)
         z_t_p = _inflate(alpha_t) * xh_phar + _inflate(sigma_t) * eps_p
         z_t_q = _inflate(alpha_t) * xh_pocket + _inflate(sigma_t) * eps_q
 
@@ -220,15 +242,31 @@ class JointDDPM:
             xh_phar, xh_pocket, phar.mask, pocket.mask, n_total
         )
 
-        loss0_x_p, loss0_x_q, loss0_h = self._neg_log_pxh_given_z0(
-            phar, pocket, z_t_p, z_t_q, eps_p, eps_q, net_p, net_q, gamma_t
-        )
         if training:
+            loss0_x_p, loss0_x_q, loss0_h = self._neg_log_pxh_given_z0(
+                phar, pocket, z_t_p, z_t_q, eps_p, eps_q, net_p, net_q,
+                gamma_t
+            )
             loss0_x_p = loss0_x_p * t_is_zero
             loss0_x_q = loss0_x_q * t_is_zero
             loss0_h = loss0_h * t_is_zero
             error_t_phar = error_t_phar * (1.0 - t_is_zero)
             error_t_pocket = error_t_pocket * (1.0 - t_is_zero)
+        else:
+            # second forward pass at t=0 for a lower-variance L0 estimate
+            # (en_diffusion.py:423-443)
+            gamma_0 = jnp.broadcast_to(gamma_0_scalar, (b,))
+            a0, s0 = sch.alpha(gamma_0), sch.sigma(gamma_0)
+            z_0_p = _inflate(a0) * xh_phar + _inflate(s0) * eps0_p
+            z_0_q = _inflate(a0) * xh_pocket + _inflate(s0) * eps0_q
+            net0_p, net0_q = self._apply(
+                params, z_0_p, z_0_q, jnp.zeros((b, 1)), phar.mask,
+                pocket.mask
+            )
+            loss0_x_p, loss0_x_q, loss0_h = self._neg_log_pxh_given_z0(
+                phar, pocket, z_0_p, z_0_q, eps0_p, eps0_q, net0_p, net0_q,
+                gamma_0
+            )
 
         if self.size_prior is not None:
             log_pN = self.size_prior.log_prob(phar.size, pocket.size)
@@ -257,6 +295,20 @@ class JointDDPM:
             "error_t_pocket": jnp.mean(error_t_pocket),
             "kl_prior": jnp.mean(kl_prior),
         }
+        if return_terms:
+            info["terms"] = {
+                "delta_log_px": delta_log_px,
+                "error_t_phar": error_t_phar,
+                "error_t_pocket": error_t_pocket,
+                "snr_weight": snr_weight,
+                "loss0_x_p": loss0_x_p,
+                "loss0_x_q": loss0_x_q,
+                "loss0_h": loss0_h,
+                "neg_log_constants": neg_log_constants,
+                "kl_prior": kl_prior,
+                "log_pN": log_pN,
+                "t_int": t_int,
+            }
         return nll, info
 
     def _kl_prior_with_pocket(self, params, xh_p, xh_q, mask_p, mask_q, n_total):
@@ -306,8 +358,13 @@ class JointDDPM:
 
     # ------------------------------------------------------------- sampling
 
-    def _denoise_step(self, params, rng, z_p, z_q, s_int, t_int, mask_p, mask_q):
-        """p(z_s | z_t) over both clouds (en_diffusion.py:499-553)."""
+    def _denoise_step(self, params, rng, z_p, z_q, s_int, t_int, mask_p,
+                      mask_q, noise=None):
+        """p(z_s | z_t) over both clouds (en_diffusion.py:499-553).
+
+        ``noise``, when given as an ``(eps_p, eps_q)`` pair (already
+        CoM-projected), replaces the standard-normal draw — used by the
+        reference-transplant parity test; ``rng`` is then unread."""
         cfg = self.cfg
         nd = cfg.n_dims
         b = z_p.shape[0]
@@ -324,7 +381,9 @@ class JointDDPM:
         mu_p = z_p / _inflate(a_ts) - coef * eps_p
         mu_q = z_q / _inflate(a_ts) - coef * eps_q
         sigma = s_ts * sigma_s / sigma_t
-        return self._sample_normal_joint(rng, mu_p, mu_q, sigma, mask_p, mask_q)
+        return self._sample_normal_joint(
+            rng, mu_p, mu_q, sigma, mask_p, mask_q, noise=noise
+        )
 
     def _renoise_step(self, params, rng, z_p, z_q, s_int, t_int, mask_p, mask_q):
         """q(z_t | z_s) jump for RePaint resampling (en_diffusion.py:457-497)."""
@@ -336,9 +395,13 @@ class JointDDPM:
         mu_q = _inflate(a_ts) * z_q
         return self._sample_normal_joint(rng, mu_p, mu_q, s_ts, mask_p, mask_q)
 
-    def _sample_normal_joint(self, rng, mu_p, mu_q, sigma, mask_p, mask_q):
+    def _sample_normal_joint(self, rng, mu_p, mu_q, sigma, mask_p, mask_q,
+                             noise=None):
         nd = self.cfg.n_dims
-        eps_p, eps_q = self._sample_joint_noise(rng, mask_p, mask_q)
+        if noise is not None:
+            eps_p, eps_q = noise
+        else:
+            eps_p, eps_q = self._sample_joint_noise(rng, mask_p, mask_q)
         b = mu_p.shape[0]
         s = _inflate(jnp.broadcast_to(sigma, (b,)))
         z_p = mu_p + s * eps_p

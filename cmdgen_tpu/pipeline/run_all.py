@@ -29,7 +29,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from cmdgen_tpu.chem.mol import canonical_smiles
+from cmdgen_tpu.chem.mol import mol_from_smiles, write_smiles
 from cmdgen_tpu.chem.posp import points_to_graph
 from cmdgen_tpu.chem.tokenizer import Tokenizer
 from cmdgen_tpu.models import gcpg as gcpg_mod
@@ -90,6 +90,11 @@ class PipelineResult:
     hypothesis: int                      # hypothesis id
     rmsd: float                          # best feature-RMSD onto the points
     conformers: List[Tuple[float, np.ndarray]]  # (rmsd, coords) best-first
+    # the parsed molecule the conformer coords are ordered by; carrying it
+    # avoids a host re-parse per result in write_pipeline_results AND lets
+    # the preparer parse each raw SMILES exactly once (the conformer atom
+    # order must match the Mol the SDF writer uses)
+    mol: Optional[object] = None
 
 
 def _flatten_cloud_dict(clouds: Dict) -> Tuple[np.ndarray, List[str]]:
@@ -260,15 +265,29 @@ def run_pipeline(
                     break
                 hid, types, ppc, raw = item
                 t0 = time.perf_counter()
-                canon = [canonical_smiles(s) for s in raw]
-                stats["valid_smiles"] += sum(1 for c in canon if c)
-                uniq = list(dict.fromkeys(c for c in canon if c))
+                # parse each raw decode exactly once: the parsed Mol serves
+                # canonicalization (dedupe key), feature matching, conformer
+                # embedding AND the final SDF write (PipelineResult.mol), so
+                # no stage re-parses — the host is single-core and parsing
+                # is the dominant prep cost at large smiles_per_hypothesis
+                mol_by_canon: Dict[str, object] = {}
+                n_valid = 0
+                for s in raw:
+                    m = mol_from_smiles(s)
+                    if m is None:
+                        continue
+                    n_valid += 1
+                    mol_by_canon.setdefault(write_smiles(m), m)
+                stats["valid_smiles"] += n_valid
+                uniq = list(mol_by_canon)
                 stats["unique_smiles"] += len(uniq)
                 if collect is not None:
                     collect.setdefault("uniq", {}).setdefault(
                         hid, []
                     ).extend(uniq)
-                entries = prepare_align_entries(uniq, types)
+                entries = prepare_align_entries(
+                    [mol_by_canon[c] for c in uniq], types
+                )
                 stats["matched"] += len(entries)
                 if not entries:
                     continue
@@ -318,7 +337,7 @@ def run_pipeline(
                     confs = res[idx]
                     results.append(PipelineResult(
                         smiles=uniq[idx], hypothesis=hid,
-                        rmsd=confs[0][0], conformers=confs,
+                        rmsd=confs[0][0], conformers=confs, mol=mol,
                     ))
                 stats["aligned"] = len(results)
         except BaseException as e:
@@ -360,7 +379,10 @@ def write_pipeline_results(results: Sequence[PipelineResult], out_dir):
     out_dir.mkdir(parents=True, exist_ok=True)
     index = []
     for i, r in enumerate(results):
-        mol = mol_from_smiles(r.smiles)
+        # the stored Mol's atom order is what the conformer coords follow;
+        # re-parsing the canonical string is only the fallback for results
+        # constructed without one
+        mol = r.mol if r.mol is not None else mol_from_smiles(r.smiles)
         if mol is None:
             continue
         symbols = [a.symbol for a in mol.atoms]

@@ -8,7 +8,7 @@ set -e
 cd /root/repo
 python -u benchmarks/e2e_trained.py \
   --diff-workdir runs/qrun_aa --gcpg-workdir runs/grun_r4 \
-  --neighbor-k 16 --clamp-x 8 \
+  --neighbor-k 16 --clamp-x 8 --smiles-per-hypothesis 2048 \
   | tee -a runs/e2e_r4.log
 python -u benchmarks/descriptor_drift.py \
   --gcpg-ckpt runs/grun_r4/gcpg_ckpt --n 64 --markdown \

@@ -130,3 +130,67 @@ def test_kekulize_assigns_alternating():
     m = mol_from_smiles("c1ccccc1")
     orders = sorted(b.order for b in m.bonds)
     assert orders == [1, 1, 1, 2, 2, 2]
+
+
+def test_perfect_matching_backtracker():
+    """The kekulization matching engine (mol._perfect_matching): found /
+    provably-none / budget-exhausted contracts, vs the blossom solver's
+    answers on the shapes aromatic subgraphs actually take."""
+    from cmdgen_tpu.chem.mol import _perfect_matching
+
+    def check(pairs, need, adj):
+        assert pairs is not None and pairs != ()
+        flat = [i for p in pairs for i in p]
+        assert sorted(flat) == sorted(need)
+        assert all(b in adj[a] for a, b in pairs)
+
+    # 6-cycle (benzene): perfect matching exists
+    adj6 = {i: [(i - 1) % 6, (i + 1) % 6] for i in range(6)}
+    check(_perfect_matching(set(range(6)), adj6), range(6), adj6)
+    # odd node set: provably none
+    adj5 = {i: [(i - 1) % 5, (i + 1) % 5] for i in range(5)}
+    assert _perfect_matching(set(range(5)), adj5) == ()
+    # even set, no perfect matching (star K_{1,3}): provably none
+    star = {0: [1, 2, 3], 1: [0], 2: [0], 3: [0]}
+    assert _perfect_matching({0, 1, 2, 3}, star) == ()
+    # naphthalene skeleton (fused 6-6): exists
+    # ring A 0-5, ring B shares 0-1 with atoms 6-9: 1-6-7-8-9-0
+    adjn = {i: set() for i in range(10)}
+    for a, b in [(0, 1), (1, 2), (2, 3), (3, 4), (4, 5), (5, 0),
+                 (1, 6), (6, 7), (7, 8), (8, 9), (9, 0)]:
+        adjn[a].add(b)
+        adjn[b].add(a)
+    adjn = {k: sorted(v) for k, v in adjn.items()}
+    check(_perfect_matching(set(range(10)), adjn), range(10), adjn)
+    # chain with a pendant that forces the pairing: 0-1-2-3 plus 1-4
+    # (4 must take 1, so 0 is isolated): provably none
+    chain = {0: [1], 1: [0, 2, 4], 2: [1, 3], 3: [2], 4: [1]}
+    assert _perfect_matching({0, 1, 2, 3, 4, 5}, {**chain, 5: []}) == ()
+    # tiny budget on a big even cycle: falls back with None (not a wrong
+    # answer) only when exhausted; generous budget finds it
+    big = {i: [(i - 1) % 40, (i + 1) % 40] for i in range(40)}
+    assert _perfect_matching(set(range(40)), big, budget=2) is None
+    check(_perfect_matching(set(range(40)), big), range(40), big)
+
+
+def test_kekulize_matches_blossom_on_corpus():
+    """Kekulization accept/reject decisions are unchanged by the round-4
+    backtracking matcher (vs the previous networkx blossom path) across
+    aromatic systems incl. fused, heteroaromatic, charged and broken ones."""
+    good = [
+        "c1ccccc1", "c1ccncc1", "c1cc[nH]c1", "c1ccoc1", "c1ccsc1",
+        "c1ccc2ccccc2c1", "c1ccc2c(c1)ccc1ccccc12",
+        "Cn1cnc2c1c(=O)n(C)c(=O)n2C", "O=c1cc[nH]c(=O)[nH]1",
+        "c1cnc2[nH]ccc2c1", "c1ccc(-c2ccccc2)cc1",
+        "c1cc2ccc3cccc4ccc(c1)c2c34",  # pyrene (fused 4-ring system)
+        "[O-]c1ccccc1", "Cc1ccccc1[N+](=O)[O-]", "c1csc2ccccc12",
+    ]
+    for s in good:
+        m = mol_from_smiles(s)
+        assert m is not None, s
+        # every aromatic bond got a definite kekulé order
+        for b in m.bonds:
+            if b.aromatic:
+                assert b.order in (1, 2), s
+    for s in ["c1ccccc2", "c1ccc1", "c1cccc1"]:  # invalid aromatics
+        assert mol_from_smiles(s) is None, s

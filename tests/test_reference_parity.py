@@ -500,3 +500,660 @@ def test_dynamics_forward_matches_reference(ref, update_pocket_coords):
     )
     np.testing.assert_allclose(eps_p_np, eps_p_ref, rtol=1e-5, atol=5e-5)
     np.testing.assert_allclose(eps_q_np, eps_q_ref, rtol=1e-5, atol=5e-5)
+
+
+# ------------------------------------------------ full-DDPM transplant
+
+
+def _load_reference_cddpm():
+    """Import the reference ConditionalDDPM (conditional_model.py) with
+    pure-torch stand-ins for its torch_scatter / utils deps. Returns the
+    loaded ``conditional_model`` module."""
+    import sys
+    import types
+
+    pkg_root = pathlib.Path("/root/reference/DiffPhar")
+    if not pkg_root.exists():
+        pytest.skip("reference tree not present")
+
+    def scatter_mean(src, index, dim=0, dim_size=None):
+        n = dim_size or int(index.max()) + 1
+        out = src.new_zeros((n, *src.shape[1:]))
+        cnt = src.new_zeros((n, *src.shape[1:]))
+        idx = index.view(-1, *([1] * (src.dim() - 1))).expand_as(src)
+        out.scatter_add_(0, idx, src)
+        cnt.scatter_add_(0, idx, torch.ones_like(src))
+        return out / cnt.clamp(min=1)
+
+    def scatter_add(src, index, dim=0, dim_size=None):
+        n = dim_size or int(index.max()) + 1
+        if src.dim() == 1:
+            out = src.new_zeros((n,))
+            return out.scatter_add_(0, index, src)
+        out = src.new_zeros((n, *src.shape[1:]))
+        idx = index.view(-1, *([1] * (src.dim() - 1))).expand_as(src)
+        return out.scatter_add_(0, idx, src)
+
+    stub_scatter = types.ModuleType("torch_scatter")
+    stub_scatter.scatter_add = scatter_add
+    stub_scatter.scatter_mean = scatter_mean
+
+    stub_utils = types.ModuleType("utils")
+
+    def num_nodes_to_batch_mask(n_samples, num_nodes, device):
+        return torch.repeat_interleave(
+            torch.arange(n_samples, device=device), num_nodes
+        )
+
+    stub_utils.num_nodes_to_batch_mask = num_nodes_to_batch_mask
+
+    saved = {k: sys.modules.get(k) for k in ("torch_scatter", "utils")}
+    sys.modules["torch_scatter"] = stub_scatter
+    sys.modules["utils"] = stub_utils
+    sys.path.insert(0, str(pkg_root))
+    try:
+        import equivariant_diffusion.conditional_model as cm
+    finally:
+        sys.path.remove(str(pkg_root))
+        for k, v in saved.items():
+            if v is None:
+                sys.modules.pop(k, None)
+            else:
+                sys.modules[k] = v
+    return cm
+
+
+@pytest.fixture(scope="module")
+def refcm():
+    return _load_reference_cddpm()
+
+
+# DDPM fixture shapes
+D_B = 3
+D_PHAR_NF, D_RES_NF, D_JOINT, D_HID, D_LAYERS = 5, 6, 16, 32, 2
+D_T = 50
+D_SIZES_P, D_SIZES_Q = [2, 3, 4], [6, 4, 5]
+D_NP, D_NQ = 4, 6
+D_NORM = (2.0, 4.0)
+
+
+def _ddpm_pair(refcm, seed=13):
+    """Build a reference ConditionalDDPM and our ConditionalDDPM sharing
+    transplanted dynamics weights, a noise schedule, and a size prior."""
+    from cmdgen_tpu.diffusion.cddpm import ConditionalDDPM, DDPMConfig
+    from cmdgen_tpu.diffusion.size_prior import SizePrior
+    from cmdgen_tpu.models.dynamics import DynamicsConfig, EGNNDynamics
+
+    dyn_mod = _load_reference_dynamics()
+    torch.manual_seed(seed)
+    tdyn = dyn_mod.EGNNDynamics(
+        phar_nf=D_PHAR_NF, residue_nf=D_RES_NF, n_dims=3,
+        joint_nf=D_JOINT, hidden_nf=D_HID, n_layers=D_LAYERS,
+        attention=True, condition_time=True, tanh=True,
+        norm_constant=1.0, inv_sublayers=1, sin_embedding=False,
+        normalization_factor=100.0, aggregation_method="sum",
+        update_pocket_coords=False, edge_cutoff=5.0,
+    )
+    tdyn.eval()
+
+    rng = np.random.default_rng(17)
+    hist = rng.integers(1, 50, size=(9, 12)).astype(np.float64)
+
+    tddpm = refcm.ConditionalDDPM(
+        dynamics=tdyn, phar_nf=D_PHAR_NF, residue_nf=D_RES_NF, n_dims=3,
+        size_histogram=hist.tolist(), timesteps=D_T,
+        parametrization="eps", noise_schedule="polynomial_2",
+        noise_precision=1e-5, loss_type="vlb",
+        norm_values=D_NORM, norm_biases=(None, 0.0),
+    )
+
+    cfg = DynamicsConfig(
+        phar_nf=D_PHAR_NF, residue_nf=D_RES_NF, joint_nf=D_JOINT,
+        condition_time=True, update_pocket_coords=False, edge_cutoff=5.0,
+        egnn=EGNNConfig(
+            hidden_nf=D_HID, n_layers=D_LAYERS, inv_sublayers=1,
+            attention=True, tanh=True, normalization_factor=100.0,
+        ),
+    )
+    params = {
+        "params": {
+            "phar_encoder": _seq_mlp_params(tdyn.phar_encoder),
+            "residue_encoder": _seq_mlp_params(tdyn.residue_encoder),
+            "phar_decoder": _seq_mlp_params(tdyn.phar_decoder),
+            "residue_decoder": _seq_mlp_params(tdyn.residue_decoder),
+            "egnn": _transplant(tdyn.egnn, D_LAYERS, 1, True)["params"],
+        }
+    }
+    jddpm = ConditionalDDPM(
+        DDPMConfig(
+            timesteps=D_T, noise_schedule="polynomial_2",
+            noise_precision=1e-5, loss_type="vlb",
+            norm_x=D_NORM[0], norm_h=D_NORM[1], norm_bias_h=0.0,
+        ),
+        EGNNDynamics(cfg),
+        size_prior=SizePrior(hist),
+    )
+    return tddpm, jddpm, params
+
+
+def _ddpm_batch(seed=19):
+    """Random padded phar/pocket clouds + the flat reference twin dicts."""
+    from cmdgen_tpu.containers import PointCloud
+
+    rng = np.random.default_rng(seed)
+    x_p = (2.0 * rng.standard_normal((D_B, D_NP, 3))).astype(np.float32)
+    x_q = (2.0 * rng.standard_normal((D_B, D_NQ, 3))).astype(np.float32)
+    h_p = np.eye(D_PHAR_NF, dtype=np.float32)[
+        rng.integers(0, D_PHAR_NF, (D_B, D_NP))
+    ]
+    h_q = np.eye(D_RES_NF, dtype=np.float32)[
+        rng.integers(0, D_RES_NF, (D_B, D_NQ))
+    ]
+    m_p = np.zeros((D_B, D_NP), np.float32)
+    m_q = np.zeros((D_B, D_NQ), np.float32)
+    for b_i in range(D_B):
+        m_p[b_i, : D_SIZES_P[b_i]] = 1.0
+        m_q[b_i, : D_SIZES_Q[b_i]] = 1.0
+    x_p *= m_p[..., None]
+    h_p *= m_p[..., None]
+    x_q *= m_q[..., None]
+    h_q *= m_q[..., None]
+
+    def flat(arr, sizes):
+        return np.concatenate(
+            [arr[b_i, : sizes[b_i]] for b_i in range(D_B)]
+        )
+
+    def bidx(sizes):
+        return torch.tensor(
+            np.repeat(np.arange(D_B), sizes), dtype=torch.long
+        )
+
+    ref_phar = {
+        "x": torch.tensor(flat(x_p, D_SIZES_P)),
+        "one_hot": torch.tensor(flat(h_p, D_SIZES_P)),
+        "size": torch.tensor(D_SIZES_P, dtype=torch.long),
+        "mask": bidx(D_SIZES_P),
+    }
+    ref_pocket = {
+        "x": torch.tensor(flat(x_q, D_SIZES_Q)),
+        "one_hot": torch.tensor(flat(h_q, D_SIZES_Q)),
+        "size": torch.tensor(D_SIZES_Q, dtype=torch.long),
+        "mask": bidx(D_SIZES_Q),
+    }
+    phar = PointCloud(
+        x=jnp.asarray(x_p), h=jnp.asarray(h_p), mask=jnp.asarray(m_p)
+    )
+    pocket = PointCloud(
+        x=jnp.asarray(x_q), h=jnp.asarray(h_q), mask=jnp.asarray(m_q)
+    )
+    return phar, pocket, ref_phar, ref_pocket
+
+
+def _pad_noise(flat, sizes, n_pad):
+    """[sum(sizes), F] standard-normal -> padded [B, n_pad, F] (zeros on
+    padding, as loss_given_noise expects)."""
+    out = np.zeros((D_B, n_pad, flat.shape[-1]), np.float32)
+    off = 0
+    for b_i, s in enumerate(sizes):
+        out[b_i, :s] = flat[off : off + s]
+        off += s
+    return out
+
+
+@pytest.mark.parametrize("training", [True, False])
+def test_cddpm_loss_matches_reference(refcm, monkeypatch, training):
+    """Weight-transplant parity for the FULL conditional-DDPM loss
+    (conditional_model.py:198-320): identical dynamics weights, timesteps
+    and noise draws through both implementations; every per-sample loss
+    term must agree — error_t, SNR weighting, L0 (x and h), the L0
+    constants, the KL prior, the size prior log p(N), and delta_log_px.
+    Covers training mode (t=0 masking path) and eval mode (separate
+    second t=0 forward pass)."""
+    tddpm, jddpm, params = _ddpm_pair(refcm)
+    phar, pocket, ref_phar, ref_pocket = _ddpm_batch()
+    tddpm.train(training)
+
+    nf = 3 + D_PHAR_NF
+    rng = np.random.default_rng(23)
+    n_tot_p = sum(D_SIZES_P)
+    eps_t_flat = rng.standard_normal((n_tot_p, nf)).astype(np.float32)
+    eps_0_flat = rng.standard_normal((n_tot_p, nf)).astype(np.float32)
+    # include a t=0 row in training mode (exercises the t_is_zero masking);
+    # eval mode draws from {1..T}
+    t_fix = np.array([[0 if training else 1], [17], [D_T]], np.int64)
+
+    draws = [torch.tensor(eps_t_flat), torch.tensor(eps_0_flat)]
+    monkeypatch.setattr(
+        refcm.ConditionalDDPM,
+        "sample_gaussian",
+        staticmethod(lambda size, device: draws.pop(0)),
+    )
+    monkeypatch.setattr(
+        torch,
+        "randint",
+        lambda low, high, size, device=None: torch.tensor(t_fix),
+    )
+    with torch.no_grad():
+        (
+            delta_ref, error_t_ref, _, snr_ref, loss0x_ref, _, loss0h_ref,
+            neg_const_ref, klp_ref, log_pn_ref, t_out_ref, _xh_hat,
+        ) = tddpm.forward(
+            {k: (v.clone() if torch.is_tensor(v) else v)
+             for k, v in ref_phar.items()},
+            {k: (v.clone() if torch.is_tensor(v) else v)
+             for k, v in ref_pocket.items()},
+        )
+
+    nll, info = jddpm.loss_given_noise(
+        params, phar, pocket,
+        jnp.asarray(t_fix[:, 0], jnp.float32),
+        jnp.asarray(_pad_noise(eps_t_flat, D_SIZES_P, D_NP)),
+        jnp.asarray(_pad_noise(eps_0_flat, D_SIZES_P, D_NP)),
+        training=training,
+        return_terms=True,
+    )
+    terms = info["terms"]
+
+    tol = dict(rtol=2e-4, atol=5e-4)
+    np.testing.assert_allclose(
+        np.asarray(terms["delta_log_px"]), delta_ref.numpy(), **tol
+    )
+    np.testing.assert_allclose(
+        np.asarray(terms["error_t"]), error_t_ref.numpy(), **tol
+    )
+    # at t=0 the reference's gamma(s=-1/T) wraps its lookup table to
+    # gamma_T while ours clamps to gamma_0; the term is only ever used
+    # multiplied by error_t (zeroed at t=0), so compare where t > 0
+    nz = t_fix[:, 0] > 0
+    np.testing.assert_allclose(
+        np.asarray(terms["snr_weight"])[nz], snr_ref.numpy()[nz], **tol
+    )
+    np.testing.assert_allclose(
+        np.asarray(terms["loss0_x"]), loss0x_ref.numpy(), **tol
+    )
+    np.testing.assert_allclose(
+        np.asarray(terms["loss0_h"]), loss0h_ref.numpy(), **tol
+    )
+    np.testing.assert_allclose(
+        np.asarray(terms["neg_log_constants"]), neg_const_ref.numpy(), **tol
+    )
+    np.testing.assert_allclose(
+        np.asarray(terms["kl_prior"]), klp_ref.numpy(), **tol
+    )
+    np.testing.assert_allclose(
+        np.asarray(terms["log_pN"]), log_pn_ref.numpy(), **tol
+    )
+    # assembled vlb NLL (lightning_modules.py:188-239) from the REFERENCE
+    # terms must equal our returned nll
+    loss_t_ref = -D_T * 0.5 * snr_ref * error_t_ref
+    loss_0_ref = loss0x_ref + loss0h_ref + neg_const_ref
+    nll_ref = loss_t_ref + loss_0_ref + klp_ref - delta_ref - log_pn_ref
+    np.testing.assert_allclose(np.asarray(nll), nll_ref.numpy(), **tol)
+
+
+def test_cddpm_reverse_step_matches_reference(refcm, monkeypatch):
+    """Weight-transplant parity for one reverse sampling step
+    p(z_s | z_t) (conditional_model.py:342-374): same zt, same dynamics
+    weights, same posterior noise draw -> identical z_s and re-centered
+    pocket on both implementations."""
+    tddpm, jddpm, params = _ddpm_pair(refcm, seed=29)
+    phar, pocket, ref_phar, ref_pocket = _ddpm_batch(seed=31)
+    tddpm.eval()
+
+    nf = 3 + D_PHAR_NF
+    rng = np.random.default_rng(37)
+    n_tot_p = sum(D_SIZES_P)
+    # a CoM-free noised state zt (the reference asserts zero phar CoM)
+    zt_flat = rng.standard_normal((n_tot_p, nf)).astype(np.float32)
+    xh0_pocket_flat = np.concatenate(
+        [np.asarray(ref_pocket["x"]), np.asarray(ref_pocket["one_hot"])], -1
+    ).astype(np.float32)
+    noise_flat = rng.standard_normal((n_tot_p, nf)).astype(np.float32)
+
+    with torch.no_grad():
+        zt_t = torch.tensor(zt_flat)
+        xh0_q_t = torch.tensor(xh0_pocket_flat)
+        zt_t[:, :3], xh0_q_t[:, :3] = tddpm.remove_mean_batch(
+            zt_t[:, :3], xh0_q_t[:, :3],
+            ref_phar["mask"], ref_pocket["mask"],
+        )
+    zt_cent = zt_t.numpy()
+    xh0_q_cent = xh0_q_t.numpy()
+
+    s_int, t_int = 36, 37
+    monkeypatch.setattr(
+        refcm.ConditionalDDPM,
+        "sample_gaussian",
+        staticmethod(lambda size, device: torch.tensor(noise_flat)),
+    )
+    with torch.no_grad():
+        zs_ref, xh_pocket_ref = tddpm.sample_p_zs_given_zt(
+            torch.full((D_B, 1), s_int / D_T),
+            torch.full((D_B, 1), t_int / D_T),
+            torch.tensor(zt_cent), torch.tensor(xh0_q_cent),
+            ref_phar["mask"], ref_pocket["mask"],
+        )
+
+    zs_j, xh_pocket_j = jddpm._denoise_step(
+        params, None,
+        jnp.asarray(_pad_noise(zt_cent, D_SIZES_P, D_NP)),
+        jnp.asarray(_pad_noise(xh0_q_cent, D_SIZES_Q, D_NQ)),
+        float(s_int), float(t_int),
+        phar.mask, pocket.mask,
+        noise=jnp.asarray(_pad_noise(noise_flat, D_SIZES_P, D_NP)),
+    )
+
+    def unpad(arr, sizes):
+        return np.concatenate(
+            [np.asarray(arr[b_i, : sizes[b_i]]) for b_i in range(D_B)]
+        )
+
+    tol = dict(rtol=2e-4, atol=5e-4)
+    np.testing.assert_allclose(
+        unpad(zs_j, D_SIZES_P), zs_ref.numpy(), **tol
+    )
+    np.testing.assert_allclose(
+        unpad(xh_pocket_j, D_SIZES_Q), xh_pocket_ref.numpy(), **tol
+    )
+
+
+# ------------------------------------------- joint-DDPM transplant
+
+
+def _load_reference_joint():
+    """Import the reference EnVariationalDiffusion (en_diffusion.py) with
+    the same pure-torch torch_scatter / utils stand-ins as
+    :func:`_load_reference_cddpm`."""
+    import sys
+    import types
+
+    pkg_root = pathlib.Path("/root/reference/DiffPhar")
+    if not pkg_root.exists():
+        pytest.skip("reference tree not present")
+
+    def scatter_mean(src, index, dim=0, dim_size=None):
+        n = dim_size or int(index.max()) + 1
+        out = src.new_zeros((n, *src.shape[1:]))
+        cnt = src.new_zeros((n, *src.shape[1:]))
+        idx = index.view(-1, *([1] * (src.dim() - 1))).expand_as(src)
+        out.scatter_add_(0, idx, src)
+        cnt.scatter_add_(0, idx, torch.ones_like(src))
+        return out / cnt.clamp(min=1)
+
+    def scatter_add(src, index, dim=0, dim_size=None):
+        n = dim_size or int(index.max()) + 1
+        if src.dim() == 1:
+            out = src.new_zeros((n,))
+            return out.scatter_add_(0, index, src)
+        out = src.new_zeros((n, *src.shape[1:]))
+        idx = index.view(-1, *([1] * (src.dim() - 1))).expand_as(src)
+        return out.scatter_add_(0, idx, src)
+
+    stub_scatter = types.ModuleType("torch_scatter")
+    stub_scatter.scatter_add = scatter_add
+    stub_scatter.scatter_mean = scatter_mean
+    saved = {k: sys.modules.get(k) for k in ("torch_scatter", "utils")}
+    sys.modules["torch_scatter"] = stub_scatter
+    sys.modules["utils"] = types.ModuleType("utils")
+    sys.path.insert(0, str(pkg_root))
+    try:
+        import equivariant_diffusion.en_diffusion as en
+    finally:
+        sys.path.remove(str(pkg_root))
+        for k, v in saved.items():
+            if v is None:
+                sys.modules.pop(k, None)
+            else:
+                sys.modules[k] = v
+    return en
+
+
+@pytest.fixture(scope="module")
+def refen():
+    return _load_reference_joint()
+
+
+def _joint_pair(refen, seed=41):
+    """Reference EnVariationalDiffusion + our JointDDPM sharing transplanted
+    joint-mode dynamics weights (update_pocket_coords=True)."""
+    from cmdgen_tpu.diffusion.cddpm import DDPMConfig
+    from cmdgen_tpu.diffusion.joint import JointDDPM
+    from cmdgen_tpu.diffusion.size_prior import SizePrior
+    from cmdgen_tpu.models.dynamics import DynamicsConfig, EGNNDynamics
+
+    dyn_mod = _load_reference_dynamics()
+    torch.manual_seed(seed)
+    tdyn = dyn_mod.EGNNDynamics(
+        phar_nf=D_PHAR_NF, residue_nf=D_RES_NF, n_dims=3,
+        joint_nf=D_JOINT, hidden_nf=D_HID, n_layers=D_LAYERS,
+        attention=True, condition_time=True, tanh=True,
+        norm_constant=1.0, inv_sublayers=1, sin_embedding=False,
+        normalization_factor=100.0, aggregation_method="sum",
+        update_pocket_coords=True, edge_cutoff=5.0,
+    )
+    tdyn.eval()
+
+    rng = np.random.default_rng(43)
+    hist = rng.integers(1, 50, size=(9, 12)).astype(np.float64)
+
+    tddpm = refen.EnVariationalDiffusion(
+        dynamics=tdyn, phar_nf=D_PHAR_NF, residue_nf=D_RES_NF, n_dims=3,
+        size_histogram=hist.tolist(), timesteps=D_T,
+        parametrization="eps", noise_schedule="polynomial_2",
+        noise_precision=1e-5, loss_type="vlb",
+        norm_values=D_NORM, norm_biases=(None, 0.0),
+    )
+
+    cfg = DynamicsConfig(
+        phar_nf=D_PHAR_NF, residue_nf=D_RES_NF, joint_nf=D_JOINT,
+        condition_time=True, update_pocket_coords=True, edge_cutoff=5.0,
+        egnn=EGNNConfig(
+            hidden_nf=D_HID, n_layers=D_LAYERS, inv_sublayers=1,
+            attention=True, tanh=True, normalization_factor=100.0,
+        ),
+    )
+    params = {
+        "params": {
+            "phar_encoder": _seq_mlp_params(tdyn.phar_encoder),
+            "residue_encoder": _seq_mlp_params(tdyn.residue_encoder),
+            "phar_decoder": _seq_mlp_params(tdyn.phar_decoder),
+            "residue_decoder": _seq_mlp_params(tdyn.residue_decoder),
+            "egnn": _transplant(tdyn.egnn, D_LAYERS, 1, True)["params"],
+        }
+    }
+    jddpm = JointDDPM(
+        DDPMConfig(
+            timesteps=D_T, noise_schedule="polynomial_2",
+            noise_precision=1e-5, loss_type="vlb",
+            norm_x=D_NORM[0], norm_h=D_NORM[1], norm_bias_h=0.0,
+        ),
+        EGNNDynamics(cfg),
+        size_prior=SizePrior(hist),
+    )
+    return tddpm, jddpm, params
+
+
+def _joint_noise(rng):
+    """One draw of the reference's combined noise
+    (en_diffusion.py:555-575): x jointly CoM-projected per sample across
+    both clouds, h iid standard normal. Returns flat (eps_p, eps_q)."""
+    n_tot_p, n_tot_q = sum(D_SIZES_P), sum(D_SIZES_Q)
+    zx = rng.standard_normal((n_tot_p + n_tot_q, 3)).astype(np.float32)
+    bidx = np.concatenate([
+        np.repeat(np.arange(D_B), D_SIZES_P),
+        np.repeat(np.arange(D_B), D_SIZES_Q),
+    ])
+    for b_i in range(D_B):
+        sel = bidx == b_i
+        zx[sel] -= zx[sel].mean(0)
+    h_p = rng.standard_normal((n_tot_p, D_PHAR_NF)).astype(np.float32)
+    h_q = rng.standard_normal((n_tot_q, D_RES_NF)).astype(np.float32)
+    eps_p = np.concatenate([zx[:n_tot_p], h_p], -1)
+    eps_q = np.concatenate([zx[n_tot_p:], h_q], -1)
+    return eps_p, eps_q
+
+
+@pytest.mark.parametrize("training", [True, False])
+def test_joint_loss_matches_reference(refen, monkeypatch, training):
+    """Weight-transplant parity for the FULL joint-DDPM loss
+    (en_diffusion.py:332-465): identical joint-mode dynamics weights,
+    timesteps and CoM-projected noise draws through both implementations;
+    every per-sample loss term must agree. Covers training mode (t=0
+    masking) and eval mode (separate second t=0 forward,
+    en_diffusion.py:423-443)."""
+    tddpm, jddpm, params = _joint_pair(refen)
+    phar, pocket, ref_phar, ref_pocket = _ddpm_batch(seed=47)
+    tddpm.train(training)
+
+    rng = np.random.default_rng(53)
+    eps_t = _joint_noise(rng)
+    eps_0 = _joint_noise(rng)
+    t_fix = np.array([[0 if training else 1], [17], [D_T]], np.int64)
+
+    draws = [
+        (torch.tensor(eps_t[0]), torch.tensor(eps_t[1])),
+        (torch.tensor(eps_0[0]), torch.tensor(eps_0[1])),
+    ]
+    monkeypatch.setattr(
+        refen.EnVariationalDiffusion,
+        "sample_combined_position_feature_noise",
+        lambda self, pi, qi: draws.pop(0),
+    )
+    monkeypatch.setattr(
+        torch,
+        "randint",
+        lambda low, high, size, device=None: torch.tensor(t_fix),
+    )
+    with torch.no_grad():
+        (
+            delta_ref, err_p_ref, err_q_ref, snr_ref, loss0xp_ref,
+            loss0xq_ref, loss0h_ref, neg_const_ref, klp_ref, log_pn_ref,
+            _t_out, _xh_hat,
+        ) = tddpm.forward(
+            {k: (v.clone() if torch.is_tensor(v) else v)
+             for k, v in ref_phar.items()},
+            {k: (v.clone() if torch.is_tensor(v) else v)
+             for k, v in ref_pocket.items()},
+        )
+
+    nll, info = jddpm.loss_given_noise(
+        params, phar, pocket,
+        jnp.asarray(t_fix[:, 0], jnp.float32),
+        jnp.asarray(_pad_noise(eps_t[0], D_SIZES_P, D_NP)),
+        jnp.asarray(_pad_noise(eps_t[1], D_SIZES_Q, D_NQ)),
+        jnp.asarray(_pad_noise(eps_0[0], D_SIZES_P, D_NP)),
+        jnp.asarray(_pad_noise(eps_0[1], D_SIZES_Q, D_NQ)),
+        training=training,
+        return_terms=True,
+    )
+    terms = info["terms"]
+
+    tol = dict(rtol=2e-4, atol=5e-4)
+    np.testing.assert_allclose(
+        np.asarray(terms["delta_log_px"]), delta_ref.numpy(), **tol
+    )
+    np.testing.assert_allclose(
+        np.asarray(terms["error_t_phar"]), err_p_ref.numpy(), **tol
+    )
+    np.testing.assert_allclose(
+        np.asarray(terms["error_t_pocket"]), err_q_ref.numpy(), **tol
+    )
+    # same t=0 gamma(s=-1/T) table-wrap caveat as the conditional test:
+    # the weight is only ever used multiplied by the (zeroed) error terms
+    nz = t_fix[:, 0] > 0
+    np.testing.assert_allclose(
+        np.asarray(terms["snr_weight"])[nz], snr_ref.numpy()[nz], **tol
+    )
+    np.testing.assert_allclose(
+        np.asarray(terms["loss0_x_p"]), loss0xp_ref.numpy(), **tol
+    )
+    np.testing.assert_allclose(
+        np.asarray(terms["loss0_x_q"]), loss0xq_ref.numpy(), **tol
+    )
+    np.testing.assert_allclose(
+        np.asarray(terms["loss0_h"]), loss0h_ref.numpy(), **tol
+    )
+    np.testing.assert_allclose(
+        np.asarray(terms["neg_log_constants"]), neg_const_ref.numpy(), **tol
+    )
+    np.testing.assert_allclose(
+        np.asarray(terms["kl_prior"]), klp_ref.numpy(), **tol
+    )
+    np.testing.assert_allclose(
+        np.asarray(terms["log_pN"]), log_pn_ref.numpy(), **tol
+    )
+    # assembled vlb NLL (lightning_modules.py:196-231, both error terms)
+    # from the REFERENCE terms must equal our returned nll
+    loss_t_ref = -D_T * 0.5 * snr_ref * (err_p_ref + err_q_ref)
+    loss_0_ref = loss0xp_ref + loss0xq_ref + loss0h_ref + neg_const_ref
+    nll_ref = loss_t_ref + loss_0_ref + klp_ref - delta_ref - log_pn_ref
+    np.testing.assert_allclose(np.asarray(nll), nll_ref.numpy(), **tol)
+
+
+def test_joint_reverse_step_matches_reference(refen, monkeypatch):
+    """Weight-transplant parity for one joint reverse step p(z_s | z_t)
+    (en_diffusion.py:499-553): same jointly CoM-free zt over both clouds,
+    same posterior noise draw -> identical z_s on both implementations,
+    including the final joint CoM re-projection."""
+    tddpm, jddpm, params = _joint_pair(refen, seed=59)
+    phar, pocket, ref_phar, ref_pocket = _ddpm_batch(seed=61)
+    tddpm.eval()
+
+    rng = np.random.default_rng(67)
+    n_tot_p, n_tot_q = sum(D_SIZES_P), sum(D_SIZES_Q)
+    zt_p = rng.standard_normal((n_tot_p, 3 + D_PHAR_NF)).astype(np.float32)
+    zt_q = rng.standard_normal((n_tot_q, 3 + D_RES_NF)).astype(np.float32)
+    # the reference asserts a jointly mean-zero x part on entry
+    zx = np.concatenate([zt_p[:, :3], zt_q[:, :3]])
+    bidx = np.concatenate([
+        np.repeat(np.arange(D_B), D_SIZES_P),
+        np.repeat(np.arange(D_B), D_SIZES_Q),
+    ])
+    for b_i in range(D_B):
+        sel = bidx == b_i
+        zx[sel] -= zx[sel].mean(0)
+    zt_p[:, :3] = zx[:n_tot_p]
+    zt_q[:, :3] = zx[n_tot_p:]
+    noise = _joint_noise(rng)
+
+    s_int, t_int = 36, 37
+    monkeypatch.setattr(
+        refen.EnVariationalDiffusion,
+        "sample_combined_position_feature_noise",
+        lambda self, pi, qi: (
+            torch.tensor(noise[0]), torch.tensor(noise[1])
+        ),
+    )
+    with torch.no_grad():
+        zs_p_ref, zs_q_ref = tddpm.sample_p_zs_given_zt(
+            torch.full((D_B, 1), s_int / D_T),
+            torch.full((D_B, 1), t_int / D_T),
+            torch.tensor(zt_p), torch.tensor(zt_q),
+            ref_phar["mask"], ref_pocket["mask"],
+        )
+
+    zs_p_j, zs_q_j = jddpm._denoise_step(
+        params, None,
+        jnp.asarray(_pad_noise(zt_p, D_SIZES_P, D_NP)),
+        jnp.asarray(_pad_noise(zt_q, D_SIZES_Q, D_NQ)),
+        float(s_int), float(t_int),
+        phar.mask, pocket.mask,
+        noise=(
+            jnp.asarray(_pad_noise(noise[0], D_SIZES_P, D_NP)),
+            jnp.asarray(_pad_noise(noise[1], D_SIZES_Q, D_NQ)),
+        ),
+    )
+
+    def unpad(arr, sizes):
+        return np.concatenate(
+            [np.asarray(arr[b_i, : sizes[b_i]]) for b_i in range(D_B)]
+        )
+
+    tol = dict(rtol=2e-4, atol=5e-4)
+    np.testing.assert_allclose(
+        unpad(zs_p_j, D_SIZES_P), zs_p_ref.numpy(), **tol
+    )
+    np.testing.assert_allclose(
+        unpad(zs_q_j, D_SIZES_Q), zs_q_ref.numpy(), **tol
+    )
