@@ -1226,6 +1226,142 @@ def test_gamma_network_matches_reference(refen):
     np.testing.assert_allclose(np.asarray(g_ours), g_ref, rtol=1e-3, atol=1e-3)
 
 
+def _load_reference_gcpg_dataset():
+    """Import the reference GCPG ``utils/dataset.py`` (Tokenizer, _corrupt)
+    with empty stubs for its dgl/rdkit imports — all rdkit/dgl usage in the
+    module is inside functions we don't call. The Tokenizer itself is pure
+    regex + torch."""
+    import sys
+    import types
+
+    pkg_root = pathlib.Path("/root/reference/GCPG")
+    if not pkg_root.exists():
+        pytest.skip("reference tree not present")
+
+    stub_names = [
+        "dgl", "rdkit", "rdkit.Chem", "rdkit.RDConfig",
+        "rdkit.Chem.ChemicalFeatures",
+    ]
+    stubs = {n: types.ModuleType(n) for n in stub_names}
+    stubs["rdkit"].Chem = stubs["rdkit.Chem"]
+    stubs["rdkit"].RDConfig = stubs["rdkit.RDConfig"]
+    stubs["rdkit.RDConfig"].RDDataDir = ""
+    stubs["rdkit.Chem"].ChemicalFeatures = stubs["rdkit.Chem.ChemicalFeatures"]
+
+    saved = {
+        k: sys.modules.get(k)
+        for k in stub_names + ["utils", "utils.dataset", "utils.smiles2ppgraph"]
+    }
+    sys.modules.update(stubs)
+    for k in ("utils", "utils.dataset", "utils.smiles2ppgraph"):
+        sys.modules.pop(k, None)
+    sys.path.insert(0, str(pkg_root))
+    try:
+        import utils.dataset as ds
+    finally:
+        sys.path.remove(str(pkg_root))
+        for k, v in saved.items():
+            if v is None:
+                sys.modules.pop(k, None)
+            else:
+                sys.modules[k] = v
+    return ds
+
+
+TRICKY_SMILES = [
+    # bracket atoms, isotopes/charges/stereo-H, two-char halogens,
+    # two-digit ring closures, @@/@, aromatic subset, and junk chars
+    # that must each become ONE unknown token
+    "CCNC(=O)Nc1%22ccc2nc@@nc(N@c3ccc(O[C@@H]c4cccc(F)c4)c(Cl)c3)c2c1%22",
+    "O=S(=O)([O-])c1ccc(B(O)O)cc1Br",
+    "[13CH3][NH3+].[Cl-]",
+    "c1cc[nH]c1CC%10CC%10",
+    "C/C=C\\C#CCl",
+    "X?=",  # unknowns
+]
+
+
+def test_tokenizer_matches_reference():
+    """chem/tokenizer.py vs the reference GCPG Tokenizer
+    (GCPG/utils/dataset.py:20-116): identical vocabulary extraction and
+    ordering, token ids, atom-index positions, unknown-><mask> policy,
+    and decode-until-<eos> round trip."""
+    ds = _load_reference_gcpg_dataset()
+    from cmdgen_tpu.chem.tokenizer import Tokenizer, gen_vocabs
+
+    vocab_ref = ds.Tokenizer.gen_vocabs(TRICKY_SMILES[:-1])
+    vocab_ours = gen_vocabs(TRICKY_SMILES[:-1])
+    assert vocab_ours == set(vocab_ref)
+
+    tref = ds.Tokenizer(vocab_ref)
+    tours = Tokenizer(vocab_ours)
+    assert tours.vocabs == tref.vocabs
+    assert len(tours) == len(tref)
+
+    for smi in TRICKY_SMILES:  # the last one is all-unknown tokens
+        ids_ref, aidx_ref = tref.parse(smi, return_atom_idx=True)
+        ids_ours, aidx_ours = tours.parse(smi, return_atom_idx=True)
+        assert ids_ours == ids_ref, smi
+        assert aidx_ours == aidx_ref, smi
+        assert tours.get_text([ids_ours[1:]]) == tref.get_text([ids_ref[1:]])
+
+
+def test_corrupt_tokens_matches_reference():
+    """data/dataset.corrupt_tokens vs the reference's Poisson span
+    infilling _corrupt (GCPG/utils/dataset.py:98-121): both draw
+    choice-then-poisson from the same global numpy RNG, so seeding it
+    identically must yield identical corrupted sequences."""
+    ds = _load_reference_gcpg_dataset()
+    from cmdgen_tpu.data.dataset import corrupt_tokens
+
+    seq = list(range(100, 160))
+    for seed in (0, 1, 2, 3, 4):
+        np.random.seed(seed)
+        ref = ds._corrupt(seq, mask_token=3)
+        np.random.seed(seed)
+        ours = corrupt_tokens(seq, mask_token=3, rng=np.random)
+        assert ours == ref, seed
+
+
+def test_posp_tables_match_reference():
+    """chem/posp.py type/size tables and the Euclidean->bond-path distance
+    map vs the reference GCPG/utils/file_utils.py:8-36 (imported with a
+    dgl stub; only its module-level constants are read)."""
+    import sys
+    import types
+
+    pkg_root = pathlib.Path("/root/reference/GCPG")
+    if not pkg_root.exists():
+        pytest.skip("reference tree not present")
+    saved = {k: sys.modules.get(k) for k in ("dgl", "utils", "utils.file_utils")}
+    sys.modules["dgl"] = types.ModuleType("dgl")
+    for k in ("utils", "utils.file_utils"):
+        sys.modules.pop(k, None)
+    sys.path.insert(0, str(pkg_root))
+    try:
+        import utils.file_utils as fu
+    finally:
+        sys.path.remove(str(pkg_root))
+        for k, v in saved.items():
+            if v is None:
+                sys.modules.pop(k, None)
+            else:
+                sys.modules[k] = v
+
+    from cmdgen_tpu.chem import posp
+
+    assert posp.IDX2PHAR == fu.idx2phar
+    assert posp.PHAR2IDX == fu.phar2idx
+    for k, (sizes, probs) in fu.idx2size.items():
+        s_ours, p_ours = posp.IDX2SIZE[k]
+        assert tuple(sizes) == tuple(s_ours)
+        np.testing.assert_allclose(p_ours, probs)
+    for d in (0.0, 1.0, 3.7, 12.5):
+        np.testing.assert_allclose(
+            posp.edis2sdis(np.asarray(d)), fu.edis2sdis(d), rtol=1e-12
+        )
+
+
 def test_size_prior_conditional_matches_reference(refen, capsys):
     """SizePrior conditional log-probs and joint log_prob vs the reference
     DistributionNodes (en_diffusion.py:952-1022) on a random histogram.
