@@ -36,7 +36,8 @@ import jax
 import numpy as np
 
 
-def make_corpus(n=8000, seed=0, max_atoms=38, long_frac=0.0):
+def make_corpus(n=8000, seed=0, max_atoms=38, long_frac=0.0,
+                complexity_frac=0.0):
     """Drug-fragment-grammar molecules: ring cores with substituents plus
     fragment chains — richer than train_demo's (branches, heterocycles,
     multiple rings), sized like ChEMBL drugs.
@@ -46,7 +47,15 @@ def make_corpus(n=8000, seed=0, max_atoms=38, long_frac=0.0):
     cover shortest-path distances ~7-13, the range DiffPhar-consensus
     hypotheses actually condition on (measured median sdis ~7.6, max ~11
     — e2e conditioning is out-of-distribution for the two-core grammar,
-    whose sdis median is 3.9 / p90 7.0)."""
+    whose sdis median is 3.9 / p90 7.0).
+
+    ``complexity_frac`` builds that fraction at the two synthesizability
+    extremes, half each: acyclic/one-small-ring "simple" molecules
+    (built-in SAS ~1.4-3) and bridged/fused-polycyclic "complex" ones
+    (SAS ~4-6.5). The base grammar clusters at SAS 4.5 +- 0.5 — too
+    narrow for the SAS condition head to learn anything (PARITY.md part
+    B: SAS was the one flat condition); this widens the SAS (and MW/logP)
+    support so condition adherence stops being corpus-coverage-bound."""
     from cmdgen_tpu.chem.mol import canonical_smiles, mol_from_smiles
 
     rng = random.Random(seed)
@@ -55,6 +64,19 @@ def make_corpus(n=8000, seed=0, max_atoms=38, long_frac=0.0):
         "c1ccsc1", "C1CCCCC1", "C1CCNCC1", "C1CCOCC1", "C1CNCCN1",
         "c1ccc2ccccc2c1", "c1ccc2[nH]ccc2c1",
     ]
+    # bridged / fused ring systems (norbornane, adamantane, decalin,
+    # spiro, oxabicyclics): high built-in SAS via the bridged-ring and
+    # ring-complexity penalties
+    complex_cores = [
+        "C1CC2CCC1C2", "C1CC2CCC1CC2", "C1C2CC3CC1CC(C2)C3",
+        "C1CCC2CCCCC2C1", "C1CCC2(CC1)CCCC2", "C1CC2CCC1O2",
+        "C1CC2CCC1N2", "C1CCC2(CC1)CCNCC2", "C1CC2(CCC1)CC2",
+    ]
+    simple_chains = [
+        "CC", "CCC", "CCCC", "CCO", "CCCO", "CCN", "CCCN", "CCOC",
+        "CCOCC", "CCNCC", "CC(C)C", "CCC(C)O", "CCOC(C)=O", "CCCNC",
+    ]
+    small_rings = ["c1ccccc1", "C1CCCCC1", "c1ccncc1", "C1CCOCC1"]
     subs = [
         "C", "CC", "CCC", "C(C)C", "O", "OC", "OCC", "N", "NC", "N(C)C",
         "F", "Cl", "Br", "C(=O)O", "C(=O)OC", "C(=O)N", "C(=O)NC", "C#N",
@@ -65,6 +87,33 @@ def make_corpus(n=8000, seed=0, max_atoms=38, long_frac=0.0):
     attempts = 0
     while len(out) < n and attempts < 60 * n:
         attempts += 1
+        u = rng.random()
+        if u < complexity_frac / 2:
+            # simple: a chain, optionally with one small ring (low SAS)
+            s = rng.choice(simple_chains)
+            if rng.random() < 0.5:
+                s += rng.choice(small_rings)
+                if rng.random() < 0.5:
+                    s += rng.choice(subs)
+        elif u < complexity_frac:
+            # complex: bridged/fused polycyclic core(s) (high SAS)
+            s = rng.choice(subs) + rng.choice(complex_cores) + rng.choice(links)
+            if rng.random() < 0.5:
+                s += rng.choice(complex_cores).translate(
+                    str.maketrans("123", "456")
+                ) + rng.choice(links)
+            s += rng.choice(subs)
+        else:
+            s = None
+        if s is not None:
+            c = canonical_smiles(s)
+            if not c:
+                continue
+            m = mol_from_smiles(c)
+            if m is None or not (4 <= m.n_atoms <= max_atoms):
+                continue
+            out.add(c)
+            continue
         # head-core-link-tail, optionally with a second core (biaryl-likes)
         s = rng.choice(subs) + rng.choice(cores) + rng.choice(links)
         if rng.random() < long_frac:
@@ -103,13 +152,15 @@ def corpus_properties(smiles_list):
 
 
 def gcpg_quality(quick=False, n_corpus=None, epochs=None, workdir=None,
-                 eval_only=False, long_frac=0.0, with_properties=True):
+                 eval_only=False, long_frac=0.0, with_properties=True,
+                 complexity_frac=0.0):
     from cmdgen_tpu.config import GCPGModelConfig, GCPGTrainConfig
     from cmdgen_tpu.pipeline.evaluate import eval_gcpg
     from cmdgen_tpu.train.gcpg_train import train_gcpg
 
     corpus = make_corpus(n_corpus or (600 if quick else 8000),
-                         long_frac=long_frac)
+                         long_frac=long_frac,
+                         complexity_frac=complexity_frac)
     rng = random.Random(1)
     rng.shuffle(corpus)
     n_test = max(32, len(corpus) // 20)
@@ -372,6 +423,11 @@ if __name__ == "__main__":
                     help="fraction of three-core (long-span) corpus "
                          "molecules; covers the sdis 7-13 conditioning "
                          "range of DiffPhar-consensus hypotheses")
+    ap.add_argument("--gcpg-complexity-frac", type=float, default=0.0,
+                    help="fraction of corpus molecules built at the two "
+                         "synthesizability extremes (half simple chains, "
+                         "half bridged polycyclics) so the SAS/MW/logP "
+                         "condition support is wide")
     ap.add_argument("--diffphar-complexes", type=int, default=None)
     ap.add_argument("--diffphar-neighbor-k", type=int, default=None)
     ap.add_argument("--diffphar-steps-per-call", type=int, default=1)
@@ -428,5 +484,6 @@ if __name__ == "__main__":
             args.quick, n_corpus=args.gcpg_corpus, epochs=args.gcpg_epochs,
             workdir=args.workdir, eval_only=args.eval_only,
             long_frac=args.gcpg_long_frac,
+            complexity_frac=args.gcpg_complexity_frac,
         ))
     print(json.dumps(out))

@@ -496,6 +496,44 @@ class ConditionalDDPM:
         xh_pocket = jnp.concatenate([pocket_x, xh_pocket[..., nd:]], axis=-1)
         return out, xh_pocket
 
+    def _final_decode(
+        self, params, rng, z_phar, xh_pocket, phar_mask, pocket_mask,
+        noise=None,
+    ):
+        """Final p(x, h | z0) decode (conditional_model.py:107-131): one
+        denoiser call at t=0, x from the EDM x-prediction plus sigma_0
+        zero-CoM noise, discrete types from z0's h channels by argmax
+        (unnormalization is channel-monotone, so argmax commutes with it).
+        Returns (x_phar, h_phar, x_pocket, h_pocket) in data scale.
+
+        ``noise``, when given, replaces the standard-normal draw (used by
+        the reference-transplant parity test; ``rng`` is then unread)."""
+        cfg = self.cfg
+        nd = cfg.n_dims
+        b = z_phar.shape[0]
+        gamma_0 = jnp.broadcast_to(self._gamma0(params), (b,))
+        sigma_x = sch.snr(-0.5 * gamma_0)
+        t_zeros = jnp.zeros((b, 1))
+        net_out, _ = self._apply(
+            params, z_phar, xh_pocket, t_zeros, phar_mask, pocket_mask
+        )
+        a0, s0 = sch.alpha(gamma_0), sch.sigma(gamma_0)
+        mu_x_final = (z_phar - _inflate(s0) * net_out) / _inflate(a0)
+        if noise is not None:
+            xh_phar, xh_pocket = self._normal_zero_com_eps(
+                noise, mu_x_final, xh_pocket, sigma_x, phar_mask, pocket_mask
+            )
+        else:
+            xh_phar, xh_pocket = self._sample_normal_zero_com(
+                rng, mu_x_final, xh_pocket, sigma_x, phar_mask, pocket_mask
+            )
+        x_phar = self.unnormalize_x(xh_phar[..., :nd])
+        h_logits = self.unnormalize_h(z_phar[..., nd:])
+        h_phar = jax.nn.one_hot(jnp.argmax(h_logits, axis=-1), self.phar_nf)
+        x_pocket = self.unnormalize_x(xh_pocket[..., :nd])
+        h_pocket = self.unnormalize_h(xh_pocket[..., nd:])
+        return x_phar, h_phar, x_pocket, h_pocket
+
     def sample_given_pocket(
         self,
         params,
@@ -573,25 +611,9 @@ class ConditionalDDPM:
             step, (z_phar, xh_pocket), (scalars, eps_all)
         )
 
-        # final p(x, h | z0) (conditional_model.py:110-135)
-        gamma_0 = jnp.broadcast_to(self._gamma0(params), (b,))
-        sigma_x = sch.snr(-0.5 * gamma_0)
-        t_zeros = jnp.zeros((b, 1))
-        net_out, _ = self._apply(
-            params, z_phar, xh_pocket, t_zeros, phar_mask, pocket.mask
+        x_phar, h_phar, x_pocket, h_pocket = self._final_decode(
+            params, k_final, z_phar, xh_pocket, phar_mask, pocket.mask
         )
-        a0, s0 = sch.alpha(gamma_0), sch.sigma(gamma_0)
-        mu_x_final = (z_phar - _inflate(s0) * net_out) / _inflate(a0)
-        xh_phar, xh_pocket = self._sample_normal_zero_com(
-            k_final, mu_x_final, xh_pocket, sigma_x, phar_mask, pocket.mask
-        )
-
-        x_phar = self.unnormalize_x(xh_phar[..., :nd])
-        # discrete types are taken from z0 (conditional_model.py:125-133)
-        h_logits = self.unnormalize_h(z_phar[..., nd:])
-        h_phar = jax.nn.one_hot(jnp.argmax(h_logits, axis=-1), self.phar_nf)
-        x_pocket = self.unnormalize_x(xh_pocket[..., :nd])
-        h_pocket = self.unnormalize_h(xh_pocket[..., nd:])
 
         # unconditional CoG projection replaces the reference's drift check
         if cfg.com_free:

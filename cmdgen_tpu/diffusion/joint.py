@@ -443,8 +443,12 @@ class JointDDPM:
         )
         return self._finalize(params, k_final, z_p, z_q, mask_p, mask_q)
 
-    def _finalize(self, params, rng, z_p, z_q, mask_p, mask_q):
-        """Final p(x, h | z0) + argmax types (en_diffusion.py:259-313)."""
+    def _finalize(self, params, rng, z_p, z_q, mask_p, mask_q, noise=None):
+        """Final p(x, h | z0) + argmax types (en_diffusion.py:259-313).
+
+        ``noise``, when given as a CoM-projected ``(eps_p, eps_q)`` pair,
+        replaces the standard-normal draw (reference-transplant parity
+        test; ``rng`` is then unread)."""
         cfg = self.cfg
         nd = cfg.n_dims
         b = z_p.shape[0]
@@ -457,7 +461,7 @@ class JointDDPM:
         mu_p = (z_p - _inflate(s0) * net_p) / _inflate(a0)
         mu_q = (z_q - _inflate(s0) * net_q) / _inflate(a0)
         xh_p, xh_q = self._sample_normal_joint(
-            rng, mu_p, mu_q, sigma_x, mask_p, mask_q
+            rng, mu_p, mu_q, sigma_x, mask_p, mask_q, noise=noise
         )
         x_p = self.unnormalize_x(xh_p[..., :nd])
         x_q = self.unnormalize_x(xh_q[..., :nd])

@@ -858,6 +858,57 @@ def test_cddpm_reverse_step_matches_reference(refcm, monkeypatch):
     )
 
 
+def test_cddpm_final_decode_matches_reference(refcm, monkeypatch):
+    """Weight-transplant parity for the final p(x, h | z0) decode
+    (conditional_model.py:107-131): same z0, same dynamics weights, same
+    sigma_0 noise draw -> identical x (phar + re-centered pocket) and
+    identical argmax one-hot types on both implementations."""
+    tddpm, jddpm, params = _ddpm_pair(refcm, seed=43)
+    phar, pocket, ref_phar, ref_pocket = _ddpm_batch(seed=47)
+    tddpm.eval()
+
+    nf = 3 + D_PHAR_NF
+    rng = np.random.default_rng(53)
+    n_tot_p = sum(D_SIZES_P)
+    z0_flat = rng.standard_normal((n_tot_p, nf)).astype(np.float32)
+    xh0_pocket_flat = np.concatenate(
+        [np.asarray(ref_pocket["x"]), np.asarray(ref_pocket["one_hot"])], -1
+    ).astype(np.float32)
+    noise_flat = rng.standard_normal((n_tot_p, nf)).astype(np.float32)
+
+    monkeypatch.setattr(
+        refcm.ConditionalDDPM,
+        "sample_gaussian",
+        staticmethod(lambda size, device: torch.tensor(noise_flat)),
+    )
+    with torch.no_grad():
+        x_p_ref, h_p_ref, x_q_ref, h_q_ref = tddpm.sample_p_xh_given_z0(
+            torch.tensor(z0_flat), torch.tensor(xh0_pocket_flat),
+            ref_phar["mask"], ref_pocket["mask"], D_B,
+        )
+
+    x_p, h_p, x_q, h_q = jddpm._final_decode(
+        params, None,
+        jnp.asarray(_pad_noise(z0_flat, D_SIZES_P, D_NP)),
+        jnp.asarray(_pad_noise(xh0_pocket_flat, D_SIZES_Q, D_NQ)),
+        phar.mask, pocket.mask,
+        noise=jnp.asarray(_pad_noise(noise_flat, D_SIZES_P, D_NP)),
+    )
+
+    def unpad(arr, sizes):
+        return np.concatenate(
+            [np.asarray(arr[b_i, : sizes[b_i]]) for b_i in range(D_B)]
+        )
+
+    tol = dict(rtol=2e-4, atol=5e-4)
+    np.testing.assert_allclose(unpad(x_p, D_SIZES_P), x_p_ref.numpy(), **tol)
+    np.testing.assert_allclose(unpad(x_q, D_SIZES_Q), x_q_ref.numpy(), **tol)
+    np.testing.assert_array_equal(
+        unpad(h_p, D_SIZES_P), h_p_ref.numpy().astype(np.float32)
+    )
+    np.testing.assert_allclose(unpad(h_q, D_SIZES_Q), h_q_ref.numpy(), **tol)
+
+
 # ------------------------------------------- joint-DDPM transplant
 
 
@@ -1159,6 +1210,72 @@ def test_joint_reverse_step_matches_reference(refen, monkeypatch):
     )
 
 
+def test_joint_finalize_matches_reference(refen, monkeypatch):
+    """Weight-transplant parity for the joint final p(x, h | z0) decode
+    (en_diffusion.py:259-285): same z0 over both clouds, same combined
+    noise draw -> identical x and argmax one-hot types. Our _finalize adds
+    the joint CoM projection the reference's sample() caller asserts
+    instead; the test applies the same projection to the reference output
+    before comparing."""
+    tddpm, jddpm, params = _joint_pair(refen, seed=79)
+    phar, pocket, ref_phar, ref_pocket = _ddpm_batch(seed=83)
+    tddpm.eval()
+
+    rng = np.random.default_rng(89)
+    n_tot_p, n_tot_q = sum(D_SIZES_P), sum(D_SIZES_Q)
+    z0_p = rng.standard_normal((n_tot_p, 3 + D_PHAR_NF)).astype(np.float32)
+    z0_q = rng.standard_normal((n_tot_q, 3 + D_RES_NF)).astype(np.float32)
+    noise = _joint_noise(rng)
+
+    monkeypatch.setattr(
+        refen.EnVariationalDiffusion,
+        "sample_combined_position_feature_noise",
+        lambda self, pi, qi: (torch.tensor(noise[0]), torch.tensor(noise[1])),
+    )
+    with torch.no_grad():
+        x_p_ref, h_p_ref, x_q_ref, h_q_ref = tddpm.sample_p_xh_given_z0(
+            torch.tensor(z0_p), torch.tensor(z0_q),
+            ref_phar["mask"], ref_pocket["mask"], D_B,
+        )
+    # apply the joint CoM projection our _finalize bakes in
+    x_p_ref, x_q_ref = x_p_ref.numpy().copy(), x_q_ref.numpy().copy()
+    bidx = np.concatenate([
+        np.repeat(np.arange(D_B), D_SIZES_P),
+        np.repeat(np.arange(D_B), D_SIZES_Q),
+    ])
+    xcat = np.concatenate([x_p_ref, x_q_ref])
+    for b_i in range(D_B):
+        sel = bidx == b_i
+        xcat[sel] -= xcat[sel].mean(0)
+    x_p_ref, x_q_ref = xcat[:n_tot_p], xcat[n_tot_p:]
+
+    phar_out, pocket_out = jddpm._finalize(
+        params, None,
+        jnp.asarray(_pad_noise(z0_p, D_SIZES_P, D_NP)),
+        jnp.asarray(_pad_noise(z0_q, D_SIZES_Q, D_NQ)),
+        phar.mask, pocket.mask,
+        noise=(
+            jnp.asarray(_pad_noise(noise[0], D_SIZES_P, D_NP)),
+            jnp.asarray(_pad_noise(noise[1], D_SIZES_Q, D_NQ)),
+        ),
+    )
+
+    def unpad(arr, sizes):
+        return np.concatenate(
+            [np.asarray(arr[b_i, : sizes[b_i]]) for b_i in range(D_B)]
+        )
+
+    tol = dict(rtol=2e-4, atol=5e-4)
+    np.testing.assert_allclose(unpad(phar_out.x, D_SIZES_P), x_p_ref, **tol)
+    np.testing.assert_allclose(unpad(pocket_out.x, D_SIZES_Q), x_q_ref, **tol)
+    np.testing.assert_array_equal(
+        unpad(phar_out.h, D_SIZES_P), h_p_ref.numpy().astype(np.float32)
+    )
+    np.testing.assert_array_equal(
+        unpad(pocket_out.h, D_SIZES_Q), h_q_ref.numpy().astype(np.float32)
+    )
+
+
 # --------------------------------- schedules + learned gamma + size prior
 
 
@@ -1321,6 +1438,26 @@ def test_corrupt_tokens_matches_reference():
         np.random.seed(seed)
         ours = corrupt_tokens(seq, mask_token=3, rng=np.random)
         assert ours == ref, seed
+
+
+def test_repaint_schedule_matches_reference(refen):
+    """diffusion/joint.get_repaint_schedule vs the reference's
+    (en_diffusion.py:649-671) across resamplings x jump_length x timesteps
+    grids — the static schedule the inpaint scan is flattened from."""
+    from cmdgen_tpu.diffusion.joint import get_repaint_schedule
+
+    class _Shell:
+        get_repaint_schedule = refen.EnVariationalDiffusion.get_repaint_schedule
+
+    shell = _Shell()
+    for resamplings in (1, 2, 3, 5):
+        for jump_length in (1, 2, 5, 10):
+            for timesteps in (10, 25, 50, 100):
+                ref = shell.get_repaint_schedule(
+                    resamplings, jump_length, timesteps
+                )
+                ours = get_repaint_schedule(resamplings, jump_length, timesteps)
+                assert ours == ref, (resamplings, jump_length, timesteps)
 
 
 def test_posp_tables_match_reference():
