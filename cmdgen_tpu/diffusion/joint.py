@@ -385,15 +385,22 @@ class JointDDPM:
             rng, mu_p, mu_q, sigma, mask_p, mask_q, noise=noise
         )
 
-    def _renoise_step(self, params, rng, z_p, z_q, s_int, t_int, mask_p, mask_q):
-        """q(z_t | z_s) jump for RePaint resampling (en_diffusion.py:457-497)."""
+    def _renoise_step(self, params, rng, z_p, z_q, s_int, t_int, mask_p,
+                      mask_q, noise=None):
+        """q(z_t | z_s) jump for RePaint resampling (en_diffusion.py:457-497).
+
+        ``noise``, when given as a CoM-projected ``(eps_p, eps_q)`` pair,
+        replaces the standard-normal draw (reference-transplant parity
+        test; ``rng`` is then unread)."""
         b = z_p.shape[0]
         gamma_s = jnp.broadcast_to(self._gamma_at_int(params, s_int), (b,))
         gamma_t = jnp.broadcast_to(self._gamma_at_int(params, t_int), (b,))
         s2_ts, s_ts, a_ts = sch.sigma_and_alpha_t_given_s(gamma_t, gamma_s)
         mu_p = _inflate(a_ts) * z_p
         mu_q = _inflate(a_ts) * z_q
-        return self._sample_normal_joint(rng, mu_p, mu_q, s_ts, mask_p, mask_q)
+        return self._sample_normal_joint(
+            rng, mu_p, mu_q, s_ts, mask_p, mask_q, noise=noise
+        )
 
     def _sample_normal_joint(self, rng, mu_p, mu_q, sigma, mask_p, mask_q,
                              noise=None):

@@ -1210,6 +1210,68 @@ def test_joint_reverse_step_matches_reference(refen, monkeypatch):
     )
 
 
+def test_joint_renoise_jump_matches_reference(refen, monkeypatch):
+    """Weight-transplant parity for the RePaint renoise jump
+    q(z_t | z_s) (en_diffusion.py:475-497): same z_s, same combined noise
+    draw -> identical z_t incl. the final joint CoM re-projection. With
+    the denoise-step and schedule tests this covers both primitives the
+    inpaint scan is built from."""
+    tddpm, jddpm, params = _joint_pair(refen, seed=97)
+    phar, pocket, ref_phar, ref_pocket = _ddpm_batch(seed=101)
+    tddpm.eval()
+
+    rng = np.random.default_rng(103)
+    n_tot_p, n_tot_q = sum(D_SIZES_P), sum(D_SIZES_Q)
+    zs_p = rng.standard_normal((n_tot_p, 3 + D_PHAR_NF)).astype(np.float32)
+    zs_q = rng.standard_normal((n_tot_q, 3 + D_RES_NF)).astype(np.float32)
+    noise = _joint_noise(rng)
+
+    s_int, t_int = 12, 22  # a jump_length=10 resample jump
+    monkeypatch.setattr(
+        refen.EnVariationalDiffusion,
+        "sample_combined_position_feature_noise",
+        lambda self, pi, qi: (torch.tensor(noise[0]), torch.tensor(noise[1])),
+    )
+    with torch.no_grad():
+        gamma_s = tddpm.inflate_batch_array(
+            tddpm.gamma(torch.full((D_B, 1), s_int / D_T)),
+            ref_phar["x"],
+        )
+        gamma_t = tddpm.inflate_batch_array(
+            tddpm.gamma(torch.full((D_B, 1), t_int / D_T)),
+            ref_phar["x"],
+        )
+        zt_p_ref, zt_q_ref = tddpm.sample_p_zt_given_zs(
+            torch.tensor(zs_p), torch.tensor(zs_q),
+            ref_phar["mask"], ref_pocket["mask"], gamma_t, gamma_s,
+        )
+
+    zt_p_j, zt_q_j = jddpm._renoise_step(
+        params, None,
+        jnp.asarray(_pad_noise(zs_p, D_SIZES_P, D_NP)),
+        jnp.asarray(_pad_noise(zs_q, D_SIZES_Q, D_NQ)),
+        float(s_int), float(t_int),
+        phar.mask, pocket.mask,
+        noise=(
+            jnp.asarray(_pad_noise(noise[0], D_SIZES_P, D_NP)),
+            jnp.asarray(_pad_noise(noise[1], D_SIZES_Q, D_NQ)),
+        ),
+    )
+
+    def unpad(arr, sizes):
+        return np.concatenate(
+            [np.asarray(arr[b_i, : sizes[b_i]]) for b_i in range(D_B)]
+        )
+
+    tol = dict(rtol=2e-4, atol=5e-4)
+    np.testing.assert_allclose(
+        unpad(zt_p_j, D_SIZES_P), zt_p_ref.numpy(), **tol
+    )
+    np.testing.assert_allclose(
+        unpad(zt_q_j, D_SIZES_Q), zt_q_ref.numpy(), **tol
+    )
+
+
 def test_joint_finalize_matches_reference(refen, monkeypatch):
     """Weight-transplant parity for the joint final p(x, h | z0) decode
     (en_diffusion.py:259-285): same z0 over both clouds, same combined
@@ -1527,3 +1589,252 @@ def test_size_prior_conditional_matches_reference(refen, capsys):
         ).numpy(),
         rtol=1e-5, atol=1e-5,
     )
+
+
+# ------------------------------------------------- GCPG match scorer parity
+
+
+class _RefBondType:
+    __slots__ = ("name",)
+
+    def __init__(self, name):
+        self.name = name
+
+
+class _RefBond:
+    """RDKit Bond surface over a chem.mol Bond (what cal_dist reads)."""
+
+    def __init__(self, b):
+        self._b = b
+
+    def GetBondType(self):
+        if self._b.aromatic:
+            return _RefBondType("AROMATIC")
+        return _RefBondType({1: "SINGLE", 2: "DOUBLE", 3: "TRIPLE"}[self._b.order])
+
+    def GetBeginAtomIdx(self):
+        return self._b.a1
+
+    def GetEndAtomIdx(self):
+        return self._b.a2
+
+
+class _RefAtom:
+    def __init__(self, mol, idx):
+        self._mol, self._idx = mol, idx
+
+    def GetNeighbors(self):
+        import types as _t
+
+        return [
+            _t.SimpleNamespace(GetIdx=(lambda j=nb: j))
+            for nb, _bi in self._mol.neighbors(self._idx)
+        ]
+
+
+class _RefMolAdapter:
+    """RDKit Mol surface over our from-scratch chem.mol Mol — exactly the
+    methods the reference cal_dist BFS (smiles2ppgraph.py:38-82) walks.
+    Same neighbor/bond iteration order on both sides, so the BFS
+    parent-tree tie-breaking is identical by construction."""
+
+    def __init__(self, mol):
+        self._mol = mol
+
+    def GetNumBonds(self):
+        return len(self._mol.bonds)
+
+    def GetNumAtoms(self):
+        return self._mol.n_atoms
+
+    def GetAtomWithIdx(self, i):
+        return _RefAtom(self._mol, i)
+
+    def GetBondWithIdx(self, i):
+        return _RefBond(self._mol.bonds[i])
+
+
+class _RefGraph:
+    """Duck-typed DGL graph for extract_dgl_info (match_eval.py:59-76)."""
+
+    def __init__(self, pp_h, pp_e, pp_mask):
+        k = int(np.asarray(pp_mask).sum())
+        type_t = torch.tensor(np.asarray(pp_h[:k, :7], dtype=np.float32))
+        # dict.get(key, default) evaluates the default eagerly, so the
+        # reference's extract_dgl_info needs 'h' present even when it
+        # reads 'type'/'dist' (match_eval.py:59-60)
+        self.ndata = {
+            "type": type_t,
+            "h": torch.cat([type_t, torch.zeros((k, 1))], dim=1),
+        }
+        src, dst, dist = [], [], []
+        for i in range(k):
+            for j in range(k):
+                if i != j:
+                    src.append(i)
+                    dst.append(j)
+                    dist.append(float(pp_e[i, j, 0]))
+        self.edata = {"dist": torch.tensor(dist), "h": torch.tensor(dist)}
+        self._e = (torch.tensor(src), torch.tensor(dst))
+
+    def edges(self):
+        return self._e
+
+
+def _load_reference_match_eval():
+    """Import the reference GCPG ``utils/match_eval.py`` with rdkit replaced
+    by adapters over OUR chemistry core: ``MolFromSmiles`` parses with
+    chem.mol and wraps the result in :class:`_RefMolAdapter`; the feature
+    factory returns chem.features perception with the reference family
+    names. The reference's combinatorial scorer (match_score, max_match,
+    cal_dist_all, __iter_product — match_eval.py:84-198) and its REAL
+    weighted-BFS cal_dist (smiles2ppgraph.py:38-82) then run unmodified on
+    identical perception output, so any score divergence isolates to our
+    chem/match.py logic."""
+    import sys
+    import types
+
+    pkg_root = pathlib.Path("/root/reference/GCPG")
+    if not pkg_root.exists():
+        pytest.skip("reference tree not present")
+
+    from cmdgen_tpu.chem.features import get_features
+    from cmdgen_tpu.chem.mol import mol_from_smiles
+
+    def _mol_from_smiles(smiles):
+        mol = mol_from_smiles(smiles)
+        return None if mol is None else _RefMolAdapter(mol)
+
+    class _Factory:
+        def GetFeaturesForMol(self, refmol):
+            feats = get_features(refmol._mol) or []
+            return [
+                types.SimpleNamespace(
+                    GetFamily=(lambda f=fam: f),
+                    GetAtomIds=(lambda a=atoms: a),
+                )
+                for fam, atoms in feats
+            ]
+
+    stub_names = [
+        "dgl", "rdkit", "rdkit.Chem", "rdkit.RDConfig", "rdkit.RDLogger",
+        "rdkit.Chem.ChemicalFeatures",
+    ]
+    stubs = {n: types.ModuleType(n) for n in stub_names}
+    stubs["rdkit"].Chem = stubs["rdkit.Chem"]
+    stubs["rdkit"].RDConfig = stubs["rdkit.RDConfig"]
+    stubs["rdkit"].RDLogger = stubs["rdkit.RDLogger"]
+    stubs["rdkit.RDConfig"].RDDataDir = ""
+    stubs["rdkit.RDLogger"].DisableLog = lambda *a, **k: None
+    stubs["rdkit.Chem"].ChemicalFeatures = stubs["rdkit.Chem.ChemicalFeatures"]
+    stubs["rdkit.Chem"].MolFromSmiles = _mol_from_smiles
+    stubs["rdkit.Chem.ChemicalFeatures"].BuildFeatureFactory = (
+        lambda path: _Factory()
+    )
+
+    saved = {
+        k: sys.modules.get(k)
+        for k in stub_names
+        + ["utils", "utils.match_eval", "utils.smiles2ppgraph"]
+    }
+    sys.modules.update(stubs)
+    for k in ("utils", "utils.match_eval", "utils.smiles2ppgraph"):
+        sys.modules.pop(k, None)
+    sys.path.insert(0, str(pkg_root))
+    try:
+        import utils.match_eval as me
+    finally:
+        sys.path.remove(str(pkg_root))
+        for k, v in saved.items():
+            if v is None:
+                sys.modules.pop(k, None)
+            else:
+                sys.modules[k] = v
+    return me
+
+
+@pytest.fixture(scope="module")
+def refmatch():
+    return _load_reference_match_eval()
+
+
+MATCH_MOLS = [
+    "CC(=O)Nc1ccc(O)cc1",            # paracetamol
+    "CCOC(=O)c1ccc(N)cc1",           # benzocaine
+    "CC(C)Cc1ccc(cc1)C(C)C(=O)O",    # ibuprofen
+    "c1ccncc1",                       # pyridine
+    "OCC1CCCCC1N",
+    "CCN(CC)CCNC(=O)c1ccc(N)cc1",    # procainamide
+    "Clc1ccccc1C(=O)NCCO",
+    "CC1CCN(CC1)C(=O)COc1ccccc1",
+    "Cc1cccc(C)c1NC(=O)CN",
+    "O=C(O)CCc1ccc(O)c(O)c1",
+]
+
+
+def test_match_score_matches_reference(refmatch):
+    """Weight-free transplant parity for the headline quality metric: for
+    every (hypothesis graph, candidate SMILES) pair, the reference's
+    match_score (match_eval.py:84-198) on our perception output equals
+    chem.match.match_score. Covers the permutation/product assignment
+    search, composite same-atom-set feature merging, the None placeholder
+    branch, cal_dist_all's identical-set/overlap/disjoint cases (incl. the
+    match-side max_size*0.2 rule for identical multi-atom sets, which
+    differs from the corpus-side group distance), the weighted-BFS bond
+    path, and the 1.21 tolerance arithmetic."""
+    import random as _random
+
+    from cmdgen_tpu.chem.match import match_score
+    from cmdgen_tpu.chem.ppgraph import smiles_to_ppgraph
+
+    hyps = []
+    for i, s in enumerate(MATCH_MOLS):
+        g = smiles_to_ppgraph(s, _random.Random(100 + i))
+        if g is not None and 2 <= int(g[2].sum()) <= 5:
+            hyps.append((s, g))
+        if len(hyps) == 5:
+            break
+    assert len(hyps) >= 3, "fixture molecules must yield usable hypotheses"
+
+    n_pairs = 0
+    for hs, (pp_h, pp_e, pp_mask, _m) in hyps:
+        ref_g = _RefGraph(pp_h, pp_e, pp_mask)
+        for s in MATCH_MOLS:
+            ours = match_score(s, pp_h, pp_e, pp_mask)
+            theirs = refmatch.match_score(s, ref_g)
+            assert ours == pytest.approx(float(theirs), abs=1e-9), (
+                f"hypothesis from {hs!r}, candidate {s!r}: "
+                f"ours={ours} ref={theirs}"
+            )
+            n_pairs += 1
+    assert n_pairs >= 30
+    # every score in [0, 1] and at least one non-trivial value on each side
+    # would be vacuous if perception returned nothing — require spread
+    scores = [
+        match_score(s, *h[1][:3]) for h in hyps for s in MATCH_MOLS[:4]
+    ]
+    assert max(scores) > 0.0
+
+
+def test_match_identical_multiatom_set_matches_reference(refmatch):
+    """Targeted corner: two hypothesis nodes of DIFFERENT single types
+    satisfied by the SAME multi-atom set (benzene's aromatic ring is both
+    Aromatic and LumpedHydrophobe). The match-side reference scores that
+    pair distance as max_size*0.2 = 1.2 (cal_dist_all, match_eval.py:36-39)
+    — NOT 0 like the corpus-side group distance — so with ref_dist 1.3 the
+    pair matches (|1.2-1.3| < 1.21) where a 0 distance would not."""
+    from cmdgen_tpu.chem.match import match_score
+
+    pp_h = np.zeros((8, 8), np.float32)
+    pp_h[0, 0] = 1.0  # node 0: Aromatic (GCPG index 1)
+    pp_h[1, 5] = 1.0  # node 1: LumpedHydrophobe (GCPG index 6)
+    pp_e = np.zeros((8, 8, 1), np.float32)
+    pp_e[0, 1, 0] = pp_e[1, 0, 0] = 1.3
+    pp_mask = np.zeros(8, np.float32)
+    pp_mask[:2] = 1.0
+
+    smiles = "c1ccccc1"
+    ours = match_score(smiles, pp_h, pp_e, pp_mask)
+    theirs = refmatch.match_score(smiles, _RefGraph(pp_h, pp_e, pp_mask))
+    assert ours == pytest.approx(float(theirs), abs=1e-9)
+    assert ours == pytest.approx(1.0)  # the 1.2-vs-0 distinction is live
