@@ -83,7 +83,16 @@ def match_score(smiles: str, pp_h, pp_e, pp_mask) -> float:
     def cand_dist(a, b) -> float:
         key = (a, b) if a <= b else (b, a)
         if key not in dist_cache:
-            dist_cache[key] = group_dist(mol, key[0], key[1], dm)
+            # match-side semantics (match_eval.py:30-43 cal_dist_all):
+            # an identical atom set scores 0 only for singletons and
+            # max_size*0.2 otherwise — unlike the corpus-side group
+            # distance (smiles2ppgraph.py:191-205 = group_dist), which
+            # gives 0 for any identical set. The two reference functions
+            # genuinely differ here.
+            if key[0] == key[1] and len(key[0]) > 1:
+                dist_cache[key] = len(key[0]) * 0.2
+            else:
+                dist_cache[key] = group_dist(mol, key[0], key[1], dm)
         return dist_cache[key]
 
     groups = list(phar_mapping.values())
