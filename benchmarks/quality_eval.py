@@ -325,7 +325,7 @@ def diffphar_quality(quick=False, epochs=None, n_complexes=None,
                      workdir=None, eval_only=False, eval_pockets=None,
                      ckpt_name="last", val_epochs=1,
                      eval_clamp_x=None, eval_timesteps=None,
-                     aa_typed=False, resume=False):
+                     aa_typed=False, resume=False, train_timesteps=None):
     """Train (or reload from ``workdir``) the conditional DDPM on the
     synthetic structured corpus and run the reference eval suite.
 
@@ -351,7 +351,8 @@ def diffphar_quality(quick=False, epochs=None, n_complexes=None,
             ),
         ),
         ddpm=dataclasses.replace(
-            cfg.ddpm, timesteps=20 if quick else 100,
+            cfg.ddpm,
+            timesteps=train_timesteps or (20 if quick else 100),
             stratified_t=stratified_t,
         ),
         train=dataclasses.replace(
@@ -457,6 +458,11 @@ if __name__ == "__main__":
                          "sampling (Å; opt-in stabilization knob)")
     ap.add_argument("--eval-timesteps", type=int, default=None,
                     help="respaced reverse-chain steps for eval sampling")
+    ap.add_argument("--diffphar-timesteps", type=int, default=None,
+                    help="training diffusion chain length T (default 100; "
+                         "the reference trains at 500 — longer chains "
+                         "shrink the per-step 1/alpha error amplification "
+                         "in the reverse chain at identical training cost)")
     args = ap.parse_args()
     out = {}
     if not args.skip_diffphar:
@@ -477,6 +483,7 @@ if __name__ == "__main__":
             eval_timesteps=args.eval_timesteps,
             aa_typed=args.diffphar_aa_typed,
             resume=args.diffphar_resume,
+            train_timesteps=args.diffphar_timesteps,
         ))
         print("# diffphar done:", json.dumps(out))
     if not args.skip_gcpg:
