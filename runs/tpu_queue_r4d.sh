@@ -1,7 +1,11 @@
 #!/bin/bash
 # Round-4 queue, part D: wait for part C (wide-complexity GCPG retrain +
-# steering sweep) to release the TPU, then the T=500 DiffPhar spread
-# experiment (runs/qrun_t500). Probe the tunnel before starting.
+# steering sweep) to release the TPU, then
+#   1. the round-4 capstone e2e: aa-typed DiffPhar (qrun_aa, 14400 epochs)
+#      x wide-complexity GCPG (grun_r4b) — the MEASURED_E2E refresh that
+#      pairs the two freshest checkpoints, and
+#   2. the T=500 DiffPhar spread experiment (runs/qrun_t500).
+# Ordered capstone-first so the key number lands even if the round ends.
 # Usage: nohup bash runs/tpu_queue_r4d.sh <part-C shell PID> &
 set -x
 cd /root/repo
@@ -12,6 +16,10 @@ import jax, numpy as np, jax.numpy as jnp
 x = jnp.ones((128, 128))
 print("tunnel probe:", float(np.asarray(x @ x)[0, 0]))
 EOF
+python -u benchmarks/e2e_trained.py \
+  --diff-workdir runs/qrun_aa --gcpg-workdir runs/grun_r4b \
+  --neighbor-k 16 --clamp-x 8 --smiles-per-hypothesis 2048 \
+  | tee -a runs/e2e_r4_final.log
 bash runs/qrun_t500/run_segment.sh 1
 bash runs/qrun_t500/run_segment.sh 2
 echo TPU_QUEUE_R4D_DONE
