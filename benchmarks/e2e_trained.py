@@ -31,7 +31,8 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def load_diffphar(workdir, neighbor_k, clamp_x, ckpt_name="last"):
+def load_diffphar(workdir, neighbor_k, clamp_x, ckpt_name="last",
+                  ddim_eta=None):
     from cmdgen_tpu import config as cfgmod
     from cmdgen_tpu.train import checkpoint as ckptmod
     from cmdgen_tpu.train.diffphar_train import build_model
@@ -44,6 +45,8 @@ def load_diffphar(workdir, neighbor_k, clamp_x, ckpt_name="last"):
     ddpm = cfg.ddpm
     if clamp_x:
         ddpm = dataclasses.replace(ddpm, clamp_x=clamp_x)
+    if ddim_eta is not None:
+        ddpm = dataclasses.replace(ddpm, ddim_eta=ddim_eta)
     cfg = dataclasses.replace(
         cfg,
         ddpm=ddpm,
@@ -66,6 +69,7 @@ def main():
     ap.add_argument("--pockets", type=int, default=3)
     ap.add_argument("--neighbor-k", type=int, default=16)
     ap.add_argument("--clamp-x", type=float, default=None)
+    ap.add_argument("--ddim-eta", type=float, default=None)
     ap.add_argument("--timesteps", type=int, default=None)
     ap.add_argument("--clouds", type=int, default=64)
     ap.add_argument("--smiles-per-hypothesis", type=int, default=512)
@@ -81,7 +85,8 @@ def main():
     from cmdgen_tpu.pipeline import run_all
 
     diff_model, diff_params, dcfg = load_diffphar(
-        args.diff_workdir, args.neighbor_k, args.clamp_x
+        args.diff_workdir, args.neighbor_k, args.clamp_x,
+        ddim_eta=args.ddim_eta,
     )
     gmodel, gparams, tok = _load_gcpg_ckpt(
         pathlib.Path(args.gcpg_workdir) / "gcpg_ckpt", "last"

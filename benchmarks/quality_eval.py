@@ -325,7 +325,8 @@ def diffphar_quality(quick=False, epochs=None, n_complexes=None,
                      workdir=None, eval_only=False, eval_pockets=None,
                      ckpt_name="last", val_epochs=1,
                      eval_clamp_x=None, eval_timesteps=None,
-                     aa_typed=False, resume=False, train_timesteps=None):
+                     aa_typed=False, resume=False, train_timesteps=None,
+                     eval_ddim_eta=None):
     """Train (or reload from ``workdir``) the conditional DDPM on the
     synthetic structured corpus and run the reference eval suite.
 
@@ -382,6 +383,12 @@ def diffphar_quality(quick=False, epochs=None, n_complexes=None,
                 cfg = dataclasses.replace(
                     cfg, ddpm=dataclasses.replace(
                         cfg.ddpm, clamp_x=eval_clamp_x
+                    ),
+                )
+            if eval_ddim_eta is not None:
+                cfg = dataclasses.replace(
+                    cfg, ddpm=dataclasses.replace(
+                        cfg.ddpm, ddim_eta=eval_ddim_eta
                     ),
                 )
             from cmdgen_tpu.train.diffphar_train import build_model
@@ -458,6 +465,9 @@ if __name__ == "__main__":
                          "sampling (Å; opt-in stabilization knob)")
     ap.add_argument("--eval-timesteps", type=int, default=None,
                     help="respaced reverse-chain steps for eval sampling")
+    ap.add_argument("--eval-ddim-eta", type=float, default=None,
+                    help="DDIM sampling at this eta during eval "
+                         "(0 = deterministic; None = ancestral DDPM)")
     ap.add_argument("--diffphar-timesteps", type=int, default=None,
                     help="training diffusion chain length T (default 100; "
                          "the reference trains at 500 — longer chains "
@@ -481,6 +491,7 @@ if __name__ == "__main__":
             val_epochs=args.diffphar_val_epochs,
             eval_clamp_x=args.eval_clamp_x,
             eval_timesteps=args.eval_timesteps,
+            eval_ddim_eta=args.eval_ddim_eta,
             aa_typed=args.diffphar_aa_typed,
             resume=args.diffphar_resume,
             train_timesteps=args.diffphar_timesteps,

@@ -162,6 +162,17 @@ def _add_sample_phars(sub):
         help="also render one sampling chain as an animated GIF "
              "(analysis/visualization.py:343-369 equivalent)",
     )
+    p.add_argument(
+        "--ddim-eta", type=float, default=None,
+        help="sample with the DDIM reverse chain at this eta (0 = "
+             "deterministic probability-flow corner; default ancestral "
+             "DDPM, the reference sampler)",
+    )
+    p.add_argument(
+        "--clamp-x", type=float, default=None,
+        help="static coordinate thresholding (normalized Å) during "
+             "sampling (Imagen-style stabilization; default off)",
+    )
 
     def run(args):
         import dataclasses
@@ -172,6 +183,14 @@ def _add_sample_phars(sub):
         from cmdgen_tpu.train.diffphar_train import build_model
 
         model, params, cfg = _load_diffphar_ckpt(args.ckpt_dir)
+        if args.ddim_eta is not None or args.clamp_x is not None:
+            ddpm = cfg.ddpm
+            if args.ddim_eta is not None:
+                ddpm = dataclasses.replace(ddpm, ddim_eta=args.ddim_eta)
+            if args.clamp_x is not None:
+                ddpm = dataclasses.replace(ddpm, clamp_x=args.clamp_x)
+            cfg = dataclasses.replace(cfg, ddpm=ddpm)
+            model = build_model(cfg)
         if args.neighbor_k:
             cfg = dataclasses.replace(
                 cfg,

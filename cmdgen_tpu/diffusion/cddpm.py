@@ -64,6 +64,17 @@ class DDPMConfig:
     # (the reference has no equivalent; its models are trained to ~1000
     # epochs where the cancellation holds on its own).
     clamp_x: Optional[float] = None
+    # DDIM sampling (Song et al. 2021), SAMPLING only: None = ancestral
+    # DDPM (the reference sampler, conditional_model.py:342-386); a float
+    # eta in [0, 1] switches the reverse chain to the DDIM family with
+    # posterior width eta * sigma_ts*sigma_s/sigma_t. eta=1 reproduces the
+    # ancestral coefficients EXACTLY (VP identity: sigma_t^2 - sigma_ts^2
+    # = alpha_ts^2 sigma_s^2 => sqrt(sigma_s^2 - sigma_post^2) =
+    # alpha_ts sigma_s^2 / sigma_t; tested), eta=0 is the deterministic
+    # probability-flow corner — no fresh noise is injected, so the
+    # 1/alpha_ts error compounding acts on the model's eps error alone,
+    # which tightens sample spread for under-trained models.
+    ddim_eta: Optional[float] = None
 
 
 def _inflate(v: jnp.ndarray) -> jnp.ndarray:
@@ -455,6 +466,20 @@ class ConditionalDDPM:
             gamma_t, gamma_s
         )
         sigma_s, sigma_t = sch.sigma(gamma_s), sch.sigma(gamma_t)
+        if self.cfg.ddim_eta is not None:
+            # DDIM family: z_s = (alpha_s/alpha_t) z_t
+            #   - (sigma_t/alpha_ts - sqrt(sigma_s^2 - sigma_post^2)) eps_hat
+            #   + sigma_post * eps,  sigma_post = eta * sigma_ts sigma_s/sigma_t.
+            # Same scan body as ancestral — only these rows change; eta=1
+            # reduces to the ancestral coefficients by the VP identity.
+            sigma_post = self.cfg.ddim_eta * sigma_ts * sigma_s / sigma_t
+            eps_coeff = sigma_t / alpha_ts - jnp.sqrt(
+                jnp.maximum(sigma_s**2 - sigma_post**2, 0.0)
+            )
+            return jnp.stack(
+                [st_pairs[:, 1] / T, 1.0 / alpha_ts, eps_coeff, sigma_post],
+                axis=-1,
+            )
         return jnp.stack(
             [
                 st_pairs[:, 1] / T,

@@ -364,3 +364,122 @@ def test_dynamics_nan_guard():
     )
     eps_p, _ = dyn.apply(params, xh_p, xh_q, jnp.full((b, 1), 0.5), mp, mq)
     assert np.isfinite(np.asarray(eps_p[..., :3])).all()
+
+
+def test_ddim_eta1_equals_ancestral(model_and_params):
+    """DDIM at eta=1 must reproduce the ancestral DDPM chain EXACTLY (the
+    VP identity sqrt(sigma_s^2 - sigma_post^2) = alpha_ts sigma_s^2/sigma_t
+    collapses the DDIM eps coefficient to sigma2_ts/(alpha_ts sigma_t)):
+    both the hoisted per-step scalars and whole-chain samples agree."""
+    import dataclasses
+
+    from cmdgen_tpu.diffusion.cddpm import respaced_st_pairs
+
+    model, params, phar, pocket = model_and_params
+    m1 = ConditionalDDPM(
+        dataclasses.replace(model.cfg, ddim_eta=1.0),
+        model.dynamics, model.size_prior,
+    )
+    pairs = respaced_st_pairs(model.cfg.timesteps, model.cfg.timesteps)
+    np.testing.assert_allclose(
+        np.asarray(m1._reverse_scalars(params, pairs)),
+        np.asarray(model._reverse_scalars(params, pairs)),
+        rtol=1e-5, atol=1e-6,
+    )
+    num_nodes = jnp.asarray([3, 5, 6])
+    o_ddim, _ = m1.sample_given_pocket(
+        params, jax.random.PRNGKey(5), pocket, num_nodes, NP_MAX
+    )
+    o_anc, _ = model.sample_given_pocket(
+        params, jax.random.PRNGKey(5), pocket, num_nodes, NP_MAX
+    )
+    np.testing.assert_allclose(
+        np.asarray(o_ddim.x), np.asarray(o_anc.x), rtol=1e-4, atol=1e-4
+    )
+
+
+def test_ddim_eta0_deterministic_and_invariants(model_and_params):
+    """eta=0: the posterior width column is exactly zero (the scan noise is
+    multiplied away — the chain is deterministic given z_T), and sampling
+    keeps every invariant (sizes, one-hot types, CoM-free, finite)."""
+    import dataclasses
+
+    from cmdgen_tpu.diffusion.cddpm import respaced_st_pairs
+
+    model, params, phar, pocket = model_and_params
+    m0 = ConditionalDDPM(
+        dataclasses.replace(model.cfg, ddim_eta=0.0),
+        model.dynamics, model.size_prior,
+    )
+    pairs = respaced_st_pairs(model.cfg.timesteps, model.cfg.timesteps)
+    scal = np.asarray(m0._reverse_scalars(params, pairs))
+    np.testing.assert_array_equal(scal[:, 3], 0.0)
+    assert np.isfinite(scal).all()
+
+    num_nodes = jnp.asarray([3, 5, 6])
+    out, _ = m0.sample_given_pocket(
+        params, jax.random.PRNGKey(6), pocket, num_nodes, NP_MAX
+    )
+    np.testing.assert_array_equal(np.asarray(out.size), [3, 5, 6])
+    assert np.isfinite(np.asarray(out.x)).all()
+    hsum = np.asarray(jnp.sum(out.h, axis=-1))
+    msk = np.asarray(out.mask)
+    np.testing.assert_allclose(hsum * msk, msk, atol=1e-6)
+    com = np.asarray(masked_sum(out.x, out.mask))
+    scale = np.abs(np.asarray(out.x)).max() + 1e-9
+    assert np.abs(com).max() / scale < 1e-2
+
+
+def test_ddim_eta0_recovers_oracle_target():
+    """With the analytically optimal eps-model, the DDIM eta=0 chain must
+    recover x0 — full chain AND respaced — to a TIGHTER tolerance than the
+    ancestral sampler (no posterior noise is injected along the chain)."""
+    from cmdgen_tpu.ops import schedules as sch
+    from cmdgen_tpu.ops.masked import masked_mean
+
+    b, n_p, n_q, T = 4, 5, 10, 20
+    rng = np.random.RandomState(0)
+    pocket = PointCloud(
+        x=jnp.asarray(rng.randn(b, n_q, 3).astype(np.float32) * 3.0),
+        h=jax.nn.one_hot(jnp.asarray(rng.randint(0, POCKET_NF, (b, n_q))),
+                         POCKET_NF),
+        mask=jnp.ones((b, n_q)),
+    )
+    off = rng.randn(n_p, 3).astype(np.float32) * 1.5
+    off -= off.mean(0)
+    h0 = jax.nn.one_hot(jnp.asarray(rng.randint(0, PHAR_NF, (n_p,))), PHAR_NF)
+    base = _make_model(T=T)
+
+    def oracle(params, z_phar, xh_pocket, t_norm, phar_mask, pocket_mask):
+        gamma = base._gamma_t_norm(params, t_norm[:, 0])
+        a, s = sch.alpha(gamma), sch.sigma(gamma)
+        pocket_com = masked_mean(xh_pocket[..., :3], pocket_mask)
+        x0 = pocket_com[:, None, :] + jnp.asarray(off)[None]
+        xh0 = jnp.concatenate(
+            [x0, jnp.broadcast_to(h0 / base.cfg.norm_h,
+                                  (z_phar.shape[0], n_p, PHAR_NF))], -1
+        )
+        eps = (z_phar - a[:, None, None] * xh0) / s[:, None, None]
+        return eps * phar_mask[..., None], jnp.zeros_like(xh_pocket)
+
+    import dataclasses
+
+    cfg = dataclasses.replace(base.cfg, ddim_eta=0.0)
+    model = ConditionalDDPM(cfg, base.dynamics, base.size_prior,
+                            apply_fn=oracle)
+    params = base.dynamics.init(
+        jax.random.PRNGKey(0), jnp.zeros((b, n_p, 3 + PHAR_NF)), pocket.xh,
+        jnp.zeros((b, 1)), jnp.ones((b, n_p)), pocket.mask,
+    )
+    for steps in (T, 5):
+        out, _ = model.sample_given_pocket(
+            params, jax.random.PRNGKey(1), pocket, jnp.full((b,), n_p),
+            n_p, timesteps=steps,
+        )
+        xc = np.asarray(out.x) - np.asarray(out.x).mean(1, keepdims=True)
+        np.testing.assert_allclose(xc, np.broadcast_to(off, xc.shape),
+                                   atol=0.02)
+        types = np.asarray(out.h).argmax(-1)
+        np.testing.assert_array_equal(
+            types, np.broadcast_to(np.asarray(h0.argmax(-1)), types.shape)
+        )
