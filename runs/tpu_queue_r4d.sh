@@ -2,10 +2,13 @@
 # Round-4 queue, part D: wait for part C (wide-complexity GCPG retrain +
 # steering sweep) to release the TPU, then
 #   1. the round-4 capstone e2e: aa-typed DiffPhar (qrun_aa, 14400 epochs)
-#      x wide-complexity GCPG (grun_r4b) — the MEASURED_E2E refresh that
-#      pairs the two freshest checkpoints, and
-#   2. the T=500 DiffPhar spread experiment (runs/qrun_t500).
-# Ordered capstone-first so the key number lands even if the round ends.
+#      x wide-complexity GCPG (grun_r4b),
+#   2. the DDIM eta sweep on the SAME qrun_aa checkpoint (eval-only,
+#      ~5 min each): does the deterministic corner close the unclamped
+#      spread gap that 755k ancestral training steps did not,
+#   3. the T=500 DiffPhar spread experiment (runs/qrun_t500).
+# Ordered cheapest-decisive-first so key numbers land even if the round
+# ends mid-queue.
 # Usage: nohup bash runs/tpu_queue_r4d.sh <part-C shell PID> &
 set -x
 cd /root/repo
@@ -20,6 +23,13 @@ python -u benchmarks/e2e_trained.py \
   --diff-workdir runs/qrun_aa --gcpg-workdir runs/grun_r4b \
   --neighbor-k 16 --clamp-x 8 --smiles-per-hypothesis 2048 \
   | tee -a runs/e2e_r4_final.log
+for ETA in 0.0 0.3 1.0; do
+  python -u benchmarks/quality_eval.py \
+    --skip-gcpg --workdir runs/qrun_aa --eval-only \
+    --eval-ddim-eta $ETA \
+    | tail -1 | sed "s/^/{\"eval_ddim_eta\": $ETA} /" \
+    >> runs/qrun_aa/ddim_sweep.jsonl
+done
 bash runs/qrun_t500/run_segment.sh 1
 bash runs/qrun_t500/run_segment.sh 2
 echo TPU_QUEUE_R4D_DONE
