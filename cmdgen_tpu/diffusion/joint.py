@@ -377,10 +377,19 @@ class JointDDPM:
         eps_p, eps_q = self._apply(
             params, z_p, z_q, t_norm, mask_p, mask_q
         )
-        coef = _inflate(s2_ts / a_ts / sigma_t)
+        if cfg.ddim_eta is not None:
+            # DDIM family (same algebra as cddpm._reverse_scalars): eta=1
+            # reduces to the ancestral coefficients by the VP identity,
+            # eta=0 injects no fresh noise.
+            sigma = cfg.ddim_eta * s_ts * sigma_s / sigma_t
+            coef = _inflate(
+                sigma_t / a_ts - jnp.sqrt(jnp.maximum(sigma_s**2 - sigma**2, 0.0))
+            )
+        else:
+            coef = _inflate(s2_ts / a_ts / sigma_t)
+            sigma = s_ts * sigma_s / sigma_t
         mu_p = z_p / _inflate(a_ts) - coef * eps_p
         mu_q = z_q / _inflate(a_ts) - coef * eps_q
-        sigma = s_ts * sigma_s / sigma_t
         return self._sample_normal_joint(
             rng, mu_p, mu_q, sigma, mask_p, mask_q, noise=noise
         )

@@ -117,3 +117,57 @@ def test_inpaint_keeps_pocket_geometry(setup):
     )
     d_out = np.linalg.norm(np.asarray(out_q.x[0, 1] - out_q.x[0, 0]))
     assert abs(d_in - d_out) / d_in < 0.2
+
+
+def test_joint_ddim_eta1_equals_ancestral(setup):
+    """The joint _denoise_step at ddim_eta=1 equals the ancestral step
+    exactly (VP identity), checked with an injected noise draw so both
+    paths are deterministic."""
+    import dataclasses
+
+    model, params, phar, pocket = setup
+    m1 = JointDDPM(
+        dataclasses.replace(model.cfg, ddim_eta=1.0), model.dynamics
+    )
+    rng = np.random.RandomState(3)
+    z_p = jnp.asarray(rng.randn(2, NP_MAX, 3 + PHAR_NF), dtype=jnp.float32)
+    z_q = jnp.asarray(rng.randn(2, NQ_MAX, 3 + POCKET_NF), dtype=jnp.float32)
+    noise = model._sample_joint_noise(
+        jax.random.PRNGKey(5), phar.mask, pocket.mask
+    )
+    a = model._denoise_step(
+        params, None, z_p, z_q, 3.0, 4.0, phar.mask, pocket.mask, noise=noise
+    )
+    b = m1._denoise_step(
+        params, None, z_p, z_q, 3.0, 4.0, phar.mask, pocket.mask, noise=noise
+    )
+    for x, y in zip(a, b):
+        np.testing.assert_allclose(
+            np.asarray(x), np.asarray(y), rtol=1e-5, atol=1e-5
+        )
+
+
+def test_joint_ddim_eta0_sample_invariants(setup):
+    """Unconditional joint sampling with ddim_eta=0 keeps the CoM-free and
+    one-hot invariants and produces finite output."""
+    import dataclasses
+
+    model, params, phar, pocket = setup
+    m0 = JointDDPM(
+        dataclasses.replace(model.cfg, ddim_eta=0.0), model.dynamics
+    )
+    out_p, out_q = m0.sample(
+        params, jax.random.PRNGKey(9), jnp.asarray([3, 5]),
+        jnp.asarray([6, 8]), NP_MAX, NQ_MAX,
+    )
+    assert np.isfinite(np.asarray(out_p.x)).all()
+    assert np.isfinite(np.asarray(out_q.x)).all()
+    from cmdgen_tpu.ops.masked import masked_sum
+
+    com = np.asarray(
+        masked_sum(out_p.x, out_p.mask) + masked_sum(out_q.x, out_q.mask)
+    )
+    scale = max(
+        np.abs(np.asarray(out_p.x)).max(), np.abs(np.asarray(out_q.x)).max()
+    ) + 1e-9
+    assert np.abs(com).max() / scale < 1e-2
