@@ -440,6 +440,12 @@ def _add_run_all(sub):
                    help="drop sampled points farther than this (Å) from "
                         "the nearest pocket atom before consensus "
                         "(0 disables; data p99 contact is ~4.1 Å)")
+    p.add_argument("--ddim-eta", type=float, default=None,
+                   help="DDIM reverse chain at this eta for the cloud "
+                        "sampler (0 = deterministic; default ancestral)")
+    p.add_argument("--clamp-x", type=float, default=None,
+                   help="static coordinate thresholding (Å) during cloud "
+                        "sampling")
 
     def run(args):
         import dataclasses
@@ -456,6 +462,14 @@ def _add_run_all(sub):
         from cmdgen_tpu.train.diffphar_train import build_model
 
         model, params, cfg = _load_diffphar_ckpt(args.diff_ckpt)
+        if args.ddim_eta is not None or args.clamp_x is not None:
+            ddpm = cfg.ddpm
+            if args.ddim_eta is not None:
+                ddpm = dataclasses.replace(ddpm, ddim_eta=args.ddim_eta)
+            if args.clamp_x is not None:
+                ddpm = dataclasses.replace(ddpm, clamp_x=args.clamp_x)
+            cfg = dataclasses.replace(cfg, ddpm=ddpm)
+            model = build_model(cfg)
         if args.neighbor_k:
             cfg = dataclasses.replace(
                 cfg,
