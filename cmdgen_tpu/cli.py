@@ -446,6 +446,12 @@ def _add_run_all(sub):
     p.add_argument("--clamp-x", type=float, default=None,
                    help="static coordinate thresholding (Å) during cloud "
                         "sampling")
+    p.add_argument("--keep-top-match", type=float, default=None,
+                   metavar="FRAC",
+                   help="rank aligned molecules by pharmacophore match "
+                        "score and keep only this top fraction "
+                        "(virtual-screening selection; stats report the "
+                        "all-aligned AND kept match means)")
 
     def run(args):
         import dataclasses
@@ -500,6 +506,7 @@ def _add_run_all(sub):
             n_conformers=args.n_conformers,
             contact_filter=(args.contact_filter
                             if args.contact_filter > 0 else None),
+            keep_top_match_frac=args.keep_top_match,
         )
         results, stats = run_pipeline(
             model, params, gmodel, gparams, tokenizer, pockets,

@@ -82,6 +82,14 @@ class PipelineConfig:
     # data-like points and removes diverged sampler output that would
     # otherwise pull GMM cluster centers to unattainable geometry.
     contact_filter: Optional[float] = 6.0
+    # Rank-by-match output stage (opt-in): score every aligned molecule
+    # against its hypothesis graph (chem.match, the reference
+    # match_eval.py metric) and keep only the top fraction, best-first —
+    # standard virtual-screening practice. stats records the mean match
+    # of ALL aligned molecules and of the kept set, so the selection
+    # effect is explicit, not hidden.
+    keep_top_match_frac: Optional[float] = None
+    match_workers: int = 8
 
 
 @dataclasses.dataclass
@@ -162,6 +170,7 @@ def run_pipeline(
     q_prep: queue.Queue = queue.Queue(maxsize=cfg.queue_depth)
     results: List[PipelineResult] = []
     errors: List[BaseException] = []
+    hyp_graphs: Dict[int, Tuple[np.ndarray, np.ndarray, np.ndarray]] = {}
     stats = {
         "pockets": len(pockets), "hypotheses": 0, "raw_smiles": 0,
         "valid_smiles": 0, "unique_smiles": 0, "matched": 0, "aligned": 0,
@@ -215,6 +224,9 @@ def run_pipeline(
                         collect.setdefault("hypotheses", {})[hid] = (
                             list(types), ppc.copy()
                         )
+                    hyp_graphs[hid] = (
+                        np.asarray(pp_h), np.asarray(pp_e), np.asarray(pp_m)
+                    )
                     q_hyp.put((hid, types, ppc, pp_h, pp_e, pp_m))
         except BaseException as e:  # propagate to the main thread
             errors.append(e)
@@ -358,6 +370,34 @@ def run_pipeline(
         raise errors[0]
     stats["wall_s"] = round(wall, 2)
     stats["aligned_mols_per_min"] = round(len(results) / wall * 60.0, 1)
+    if cfg.keep_top_match_frac is not None and results:
+        # post-alignment rank-by-match selection (throughput above is the
+        # pre-selection number; both match means are reported)
+        from cmdgen_tpu.chem.match import get_match_scores
+
+        t0 = time.perf_counter()
+        scores = get_match_scores(
+            [hyp_graphs[r.hypothesis] for r in results],
+            [r.smiles for r in results],
+            n_workers=cfg.match_workers,
+        )
+        ok = [s for s in scores if s >= 0]
+        stats["match_score_all_aligned"] = (
+            round(float(np.mean(ok)), 4) if ok else -1.0
+        )
+        keep = max(1, int(len(results) * cfg.keep_top_match_frac))
+        order = sorted(
+            range(len(results)),
+            key=lambda i: (scores[i] if scores[i] >= 0 else -1.0),
+            reverse=True,
+        )[:keep]
+        results = [results[i] for i in order]
+        kept_ok = [scores[i] for i in order if scores[i] >= 0]
+        stats["match_score_kept"] = (
+            round(float(np.mean(kept_ok)), 4) if kept_ok else -1.0
+        )
+        stats["kept"] = len(results)
+        stats["match_rank_busy_s"] = time.perf_counter() - t0
     for k in list(stats):
         if k.endswith("_busy_s"):
             stats[k] = round(stats[k], 2)

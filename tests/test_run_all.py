@@ -191,3 +191,46 @@ def test_contact_filter_points():
     # no-op on fully-in-contact clouds
     kept2, kf2, d2 = run_all.contact_filter_points(near, fams[:4], pocket, 6.0)
     assert d2 == 0 and len(kept2) == 4
+
+
+def test_keep_top_match_ranks_and_reports(tiny_models, monkeypatch):
+    """keep_top_match_frac: the output set shrinks to the top fraction by
+    match score, both the all-aligned and kept match means are reported,
+    and the kept mean is >= the all-aligned mean (selection effect made
+    explicit)."""
+    diff_model, diff_params, gmodel, gparams, tok, pockets = tiny_models
+
+    def fixed_consensus(coords, families, n_clusters=4, seed=0):
+        c = np.asarray(coords).mean(0)
+        return [("HYBL", c), ("HACC", c + np.asarray([2.5, 0, 0]))]
+
+    monkeypatch.setitem(run_all._CONSENSUS, "gmm", fixed_consensus)
+    fake_pool = ["CCO", "OCCO", "CCOC", "CO", "CCO", "OCO", "CCCO", "CCO"]
+
+    def fake_generate(model, params, rng, pp_h, pp_e, pp_m, conds, **kw):
+        b = pp_h.shape[0]
+        out = np.full((b, 12), tok.s2i["<pad>"], dtype=np.int32)
+        for i in range(b):
+            ids = tok.parse(fake_pool[i % len(fake_pool)])[1:][:12]
+            out[i, : len(ids)] = ids
+        return jnp.asarray(out)
+
+    monkeypatch.setattr(run_all.gcpg_mod, "generate", fake_generate)
+
+    cfg = run_all.PipelineConfig(
+        n_clouds_per_pocket=4, diff_timesteps=4, n_phar_max=4,
+        cluster_counts=(2,), smiles_per_hypothesis=32, decode_batch=16,
+        n_conformers=2, refine_steps=40, num_keep=2, align_chunk=8,
+        size_bucket=8, contact_filter=None,
+        keep_top_match_frac=0.5, match_workers=1,
+    )
+    results, stats = run_all.run_pipeline(
+        diff_model, diff_params, gmodel, gparams, tok, pockets,
+        jax.random.PRNGKey(7), cfg,
+    )
+    assert stats["aligned"] >= 1
+    assert stats["kept"] == len(results) == max(1, int(stats["aligned"] * 0.5))
+    assert "match_score_all_aligned" in stats
+    assert "match_score_kept" in stats
+    if stats["match_score_kept"] >= 0 and stats["match_score_all_aligned"] >= 0:
+        assert stats["match_score_kept"] >= stats["match_score_all_aligned"]
