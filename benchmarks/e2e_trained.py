@@ -70,6 +70,10 @@ def main():
     ap.add_argument("--neighbor-k", type=int, default=16)
     ap.add_argument("--clamp-x", type=float, default=None)
     ap.add_argument("--ddim-eta", type=float, default=None)
+    ap.add_argument("--diff-ckpt-name", default="last",
+                    choices=["last", "best"])
+    ap.add_argument("--gcpg-ckpt-name", default="last",
+                    choices=["last", "best"])
     ap.add_argument("--timesteps", type=int, default=None)
     ap.add_argument("--clouds", type=int, default=64)
     ap.add_argument("--smiles-per-hypothesis", type=int, default=512)
@@ -86,10 +90,10 @@ def main():
 
     diff_model, diff_params, dcfg = load_diffphar(
         args.diff_workdir, args.neighbor_k, args.clamp_x,
-        ddim_eta=args.ddim_eta,
+        ckpt_name=args.diff_ckpt_name, ddim_eta=args.ddim_eta,
     )
     gmodel, gparams, tok = _load_gcpg_ckpt(
-        pathlib.Path(args.gcpg_workdir) / "gcpg_ckpt", "last"
+        pathlib.Path(args.gcpg_workdir) / "gcpg_ckpt", args.gcpg_ckpt_name
     )
     test_ds = DiffPharDataset(
         pathlib.Path(args.diff_workdir) / "data" / "test.npz"
