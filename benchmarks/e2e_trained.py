@@ -80,6 +80,8 @@ def main():
     ap.add_argument("--cluster-counts", type=int, nargs="+", default=[4, 5])
     ap.add_argument("--match-sample", type=int, default=128,
                     help="SMILES scored per hypothesis for the match score")
+    ap.add_argument("--decode-temperature", type=float, default=1.0,
+                    help="sampling-logit temperature for the SMILES decode")
     args = ap.parse_args()
 
     from cmdgen_tpu.chem.match import get_match_scores
@@ -110,6 +112,7 @@ def main():
         cluster_counts=tuple(args.cluster_counts),
         smiles_per_hypothesis=args.smiles_per_hypothesis,
         decode_batch=min(512, args.smiles_per_hypothesis),
+        decode_temperature=args.decode_temperature,
     )
 
     # warmup compiles every jit shape once (excluded from measurement)
@@ -191,6 +194,8 @@ def main():
     )
     out["clamp_x"] = args.clamp_x
     out["timesteps"] = args.timesteps or dcfg.ddpm.timesteps
+    if args.decode_temperature != 1.0:
+        out["decode_temperature"] = args.decode_temperature
     print(json.dumps(out))
 
 

@@ -392,6 +392,8 @@ def _add_generate(sub):
     p.add_argument("--target-score", type=float, default=0.0,
                    help="docking-score condition (generate_docked.py uses -14)")
     p.add_argument("--no-filter", action="store_true")
+    p.add_argument("--temperature", type=float, default=1.0,
+                   help="sampling-logit temperature (<1 sharpens)")
     p.add_argument("--seed", type=int, default=0)
 
     def run(args):
@@ -405,6 +407,7 @@ def _add_generate(sub):
             args.phar_file, args.out_dir, n_per_condition=args.n,
             conditions={"Score": [args.target_score]},
             filter_valid=not args.no_filter,
+            temperature=args.temperature,
         )
         print(f"wrote {out}")
 
@@ -452,6 +455,10 @@ def _add_run_all(sub):
                         "score and keep only this top fraction "
                         "(virtual-screening selection; stats report the "
                         "all-aligned AND kept match means)")
+    p.add_argument("--decode-temperature", type=float, default=1.0,
+                   help="sampling-logit temperature for the SMILES "
+                        "decode (<1 sharpens: higher validity on "
+                        "out-of-distribution hypotheses)")
 
     def run(args):
         import dataclasses
@@ -507,6 +514,7 @@ def _add_run_all(sub):
             contact_filter=(args.contact_filter
                             if args.contact_filter > 0 else None),
             keep_top_match_frac=args.keep_top_match,
+            decode_temperature=args.decode_temperature,
         )
         results, stats = run_pipeline(
             model, params, gmodel, gparams, tokenizer, pockets,

@@ -276,6 +276,7 @@ def generate(
     conditions: jnp.ndarray,
     random_sample: bool = False,
     memory: Optional[Tuple[jnp.ndarray, jnp.ndarray]] = None,
+    temperature: float = 1.0,
 ) -> jnp.ndarray:
     """Batched autoregressive generation under one lax.scan
     (replaces the reference's Python token loop, gcpg.py:242-290).
@@ -283,6 +284,10 @@ def generate(
     Jitted whole (the flax Module is a static arg): run eagerly, the
     prior/cache applies and the per-token scan dispatch separately and
     launch latency dominates decode time (~8x slower measured end-to-end).
+
+    ``temperature`` scales the sampling logits (``random_sample=True``
+    only; the reference samples at fixed T=1, gcpg.py:265). It is a
+    traced scalar, so sweeping values does not recompile.
 
     Returns token ids [B, max_len-1] (without <sos>). Positions after the
     first <eos> in each row are forced to <pad>.
@@ -310,7 +315,9 @@ def generate(
             method=GCPG.decode_one,
         )
         if random_sample:
-            nxt = jax.random.categorical(sub, logits, axis=-1)
+            nxt = jax.random.categorical(
+                sub, logits / jnp.maximum(temperature, 1e-6), axis=-1
+            )
         else:
             nxt = jnp.argmax(logits, axis=-1)
         nxt = jnp.where(finished, module.pad_value, nxt).astype(jnp.int32)

@@ -55,6 +55,7 @@ def generate_from_phar(
     random_sample: bool = True,
     filter_valid: bool = True,
     batch_size: int = 128,
+    temperature: float = 1.0,
 ) -> List[str]:
     """Returns generated SMILES strings (canonical + deduped if filtered)."""
     pp_h, pp_e, pp_mask = load_phar_file(phar_file)
@@ -74,6 +75,7 @@ def generate_from_phar(
                 jnp.broadcast_to(jnp.asarray(pp_mask), (b, *pp_mask.shape)),
                 jnp.broadcast_to(jnp.asarray(cond), (b, len(cond))),
                 random_sample=random_sample,
+                temperature=temperature,
             )
             out.extend(tokenizer.get_text(np.asarray(toks)))
             remaining -= b

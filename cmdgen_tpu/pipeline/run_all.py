@@ -67,6 +67,11 @@ class PipelineConfig:
     # amortize across the batch; flat beyond 512 — see PERF.md)
     smiles_per_hypothesis: int = 512
     decode_batch: int = 512
+    # sampling-logit temperature for the decode stage; <1 sharpens the
+    # token distribution (higher validity on out-of-distribution
+    # consensus hypotheses, at some diversity cost). Traced scalar —
+    # sweeping values does not recompile.
+    decode_temperature: float = 1.0
     conditions: Optional[Dict[str, Sequence[float]]] = None
     n_conformers: int = 5
     refine_steps: int = 100
@@ -257,6 +262,7 @@ def run_pipeline(
                         jnp.broadcast_to(jnp.asarray(pp_m), (b, *pp_m.shape)),
                         jnp.broadcast_to(jnp.asarray(cond), (b, len(cond))),
                         random_sample=True,
+                        temperature=cfg.decode_temperature,
                     )
                     raw.extend(tokenizer.get_text(np.asarray(toks)))
                     remaining -= b

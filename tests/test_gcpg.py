@@ -133,6 +133,22 @@ def test_generate_shapes_and_eos_padding(model_setup):
             assert (row[eos_pos[0] + 1 :] == model.pad_value).all()
 
 
+def test_generate_low_temperature_matches_argmax(model_setup):
+    """temperature -> 0 collapses categorical sampling onto argmax, so a
+    very low temperature must reproduce the greedy decode exactly."""
+    model, params, (inputs, iv, pp_h, pp_e, pp_mask, targets, conds) = model_setup
+    # same rng: the prior-memory draw (k_z) must match between the runs
+    greedy = gcpg_mod.generate(
+        model, params, jax.random.PRNGKey(11), pp_h, pp_e, pp_mask, conds,
+        random_sample=False,
+    )
+    cold = gcpg_mod.generate(
+        model, params, jax.random.PRNGKey(11), pp_h, pp_e, pp_mask, conds,
+        random_sample=True, temperature=1e-4,
+    )
+    np.testing.assert_array_equal(np.asarray(greedy), np.asarray(cold))
+
+
 def test_overfit_lm_loss(model_setup):
     model, params, (inputs, iv, pp_h, pp_e, pp_mask, targets, conds) = model_setup
     opt = optax.adam(3e-3)
