@@ -19,9 +19,11 @@ denoise steps/sec/chip (BASELINE.json) — the reference itself publishes no
 numbers (BASELINE.md).
 
 Env knobs: BENCH_PALLAS=1 (the fused whole-network Pallas neighbor kernel
-at BENCH_K; BENCH_SPP sets samples per Pallas program), BENCH_DENSE=1
-(dense [N,N] pair blocks on the XLA engine instead of the neighbor list;
-incompatible with BENCH_PALLAS), BENCH_BATCH, BENCH_K.
+at BENCH_K; BENCH_SPP sets samples per Pallas program), BENCH_MSGPASS=1
+(XLA neighbor engine with the per-GCL Pallas message-pass kernel,
+ops/egnn_msgpass.py), BENCH_DENSE=1 (dense [N,N] pair blocks on the XLA
+engine instead of the neighbor list; incompatible with BENCH_PALLAS),
+BENCH_BATCH, BENCH_K.
 
 Timing fetches the sampled coordinates to host (np.asarray) inside the
 timed loop — `block_until_ready` alone does not reliably wait over the
@@ -55,6 +57,7 @@ def main():
         cfg.dynamics.egnn,
         compute_dtype=jnp.bfloat16,
         neighbor_k=None if use_dense else k,
+        msgpass_pallas=os.environ.get("BENCH_MSGPASS", "0") == "1",
     )
     dyn_cfg = dataclasses.replace(cfg.dynamics, egnn=egnn)
     dynamics = EGNNDynamics(dyn_cfg)

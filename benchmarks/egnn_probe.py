@@ -94,6 +94,15 @@ def main():
                 base.dynamics.egnn, compute_dtype=jnp.bfloat16
             )
             dyn_cfg = dataclasses.replace(base.dynamics, egnn=egnn)
+        elif mode_eff.startswith("mp"):
+            # mpK: XLA neighbor-list engine with the per-GCL Pallas
+            # message-pass kernel (ops/egnn_msgpass.py)
+            k = int(mode_eff[2:])
+            egnn = dataclasses.replace(
+                base.dynamics.egnn, compute_dtype=jnp.bfloat16,
+                neighbor_k=k, msgpass_pallas=True,
+            )
+            dyn_cfg = dataclasses.replace(base.dynamics, egnn=egnn)
         elif mode.startswith("pnb"):
             # pnbK or pnbKxS (S = samples per Pallas program)
             spec = mode[3:]
@@ -130,7 +139,7 @@ def main():
                 kmask = jnp.einsum(
                     "bikn,bin->bik", onehot, edge_mask.astype(dtype)
                 )
-                return onehot, kmask
+                return onehot, kmask, idx.astype(jnp.int32)
 
             egnn_mod_orig = egnn_mod.build_neighbor_list
             egnn_mod.build_neighbor_list = _fake_neighbor_list

@@ -53,6 +53,12 @@ class EGNNConfig:
     # (egnn_new.py:249-260; config knob crossdocked_full_cond.yml:38,
     # False in every shipped reference config)
     sin_embedding: bool = False
+    # run each GCL's message pass + aggregation as one Pallas kernel
+    # (ops/egnn_msgpass.py) instead of XLA ops — removes the [B,N,K,H]
+    # HBM round-trips of the message chain. Neighbor-list engine only,
+    # sum aggregation, E=2 edge features; inference path (the kernel has
+    # no custom VJP). Off by default pending the hardware A/B (PERF.md).
+    msgpass_pallas: bool = False
 
 
 # SinusoidsEmbeddingNew constants (egnn_new.py:251: max_res=15,
@@ -95,9 +101,10 @@ def build_neighbor_list(x: jnp.ndarray, edge_mask: jnp.ndarray, k: int,
     x: [B, N, 3] (coordinates at dynamics entry — the same coordinates the
     reference uses to build its cutoff adjacency, dynamics.py:141-147),
     edge_mask: [B, N, N]. Returns (onehot [B,N,K,N] selection matrix for
-    ``gather_nodes``, kmask [B,N,K] float): the K nearest valid edges of
-    each receiver i, with kmask zero where a row has fewer than K edges.
-    Self-edges (d=0) are selected first, as in the reference adjacency.
+    ``gather_nodes``, kmask [B,N,K] float, idx [B,N,K] int32): the K
+    nearest valid edges of each receiver i, with kmask zero where a row
+    has fewer than K edges. Self-edges (d=0) are selected first, as in
+    the reference adjacency.
     """
     n = x.shape[-2]
     k = min(k, n)
@@ -111,7 +118,7 @@ def build_neighbor_list(x: jnp.ndarray, edge_mask: jnp.ndarray, k: int,
     _, idx = jax.lax.approx_max_k(score, k, recall_target=1.0)
     onehot = jax.nn.one_hot(idx, n, dtype=dtype)
     kmask = jnp.einsum("bikn,bin->bik", onehot, edge_mask.astype(dtype))
-    return onehot, kmask
+    return onehot, kmask, idx.astype(jnp.int32)
 
 
 def _silu_dtype(cfg):
@@ -159,12 +166,22 @@ class PairFirstLayer(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, h, e, nbr=None, rows=None):
+    def __call__(self, h, e, nbr=None, rows=None, project_only=False):
         """rows: optionally restrict the receiver (i) axis to the first
-        ``rows`` nodes — e (and nbr) must already be row-sliced to match."""
+        ``rows`` nodes — e (and nbr) must already be row-sliced to match.
+
+        project_only: return the node-level pieces ``(w_i h, w_j h + b,
+        w_e kernel)`` without forming the pair tensor — the Pallas
+        message-pass kernel consumes these directly (same parameters
+        under the same tree paths)."""
         hi = h if rows is None else h[..., :rows, :]
         wi = nn.Dense(self.features, use_bias=False, dtype=self.dtype, name="w_i")(hi)
         wj = nn.Dense(self.features, use_bias=True, dtype=self.dtype, name="w_j")(h)
+        if project_only:
+            kernel, _ = _DenseParams(
+                self.features, e.shape[-1], use_bias=False, name="w_e"
+            )()
+            return wi, wj, kernel
         if nbr is None:
             wj_pair = wj[..., None, :, :]
         else:
@@ -212,28 +229,60 @@ class GCL(nn.Module):
     cfg: EGNNConfig
 
     @nn.compact
-    def __call__(self, h, edge_attr, edge_mask, nbr=None):
+    def __call__(self, h, edge_attr, edge_mask, nbr=None, nbr_idx=None):
         cfg = self.cfg
         dt = cfg.compute_dtype
-        # edge model: mlp([h_i, h_j, e]) with SiLU activations
-        mij = PairFirstLayer(cfg.hidden_nf, dtype=dt, name="edge_in")(h, edge_attr, nbr)
-        mij = nn.silu(mij)
-        mij = nn.Dense(cfg.hidden_nf, dtype=dt, name="edge_out")(mij)
-        mij = nn.silu(mij)
-        if cfg.attention:
-            # The attention gate is a 1-column Dense over mij; as an nn.Dense
-            # it lowers to a matvec pass that re-reads the [B,N,J,H] message
-            # tensor from HBM. Written as an explicit mul+reduce it is an
-            # elementwise fusion XLA folds into the same loop as the gating
-            # and the masked aggregation below — one read of mij instead of
-            # three. Same params under the same tree path, same algebra.
-            ka, ba = _DenseParams(1, cfg.hidden_nf, name="att")()
-            att = nn.sigmoid(
-                jnp.sum(mij * ka[:, 0].astype(dt), axis=-1, keepdims=True)
-                + ba.astype(dt)
-            )
-            mij = mij * att
-        agg = _aggregate(mij, edge_mask, cfg)
+        use_mp_kernel = (
+            cfg.msgpass_pallas
+            and nbr is not None
+            and nbr_idx is not None
+            and cfg.aggregation_method == "sum"
+            and edge_attr is not None
+            and edge_attr.shape[-1] == 2
+        )
+        if use_mp_kernel:
+            # Pallas message pass: identical algebra, identical params
+            # under identical tree paths (see ops/egnn_msgpass.py).
+            from cmdgen_tpu.ops.egnn_msgpass import gcl_message_agg
+
+            wi, wj, we_k = PairFirstLayer(
+                cfg.hidden_nf, dtype=dt, name="edge_in"
+            )(h, edge_attr, nbr, project_only=True)
+            w2k, w2b = _DenseParams(
+                cfg.hidden_nf, cfg.hidden_nf, name="edge_out"
+            )()
+            att_p = None
+            if cfg.attention:
+                ka, ba = _DenseParams(1, cfg.hidden_nf, name="att")()
+                att_p = (ka, ba)
+            agg = gcl_message_agg(
+                wi, wj, nbr_idx,
+                edge_attr[..., 0], edge_attr[..., 1], edge_mask,
+                we_k, w2k, w2b, att_p,
+                cfg.normalization_factor, compute_dtype=dt,
+                interpret=jax.default_backend() == "cpu",
+            ).astype(dt)
+        else:
+            # edge model: mlp([h_i, h_j, e]) with SiLU activations
+            mij = PairFirstLayer(cfg.hidden_nf, dtype=dt, name="edge_in")(h, edge_attr, nbr)
+            mij = nn.silu(mij)
+            mij = nn.Dense(cfg.hidden_nf, dtype=dt, name="edge_out")(mij)
+            mij = nn.silu(mij)
+            if cfg.attention:
+                # The attention gate is a 1-column Dense over mij; as an
+                # nn.Dense it lowers to a matvec pass that re-reads the
+                # [B,N,J,H] message tensor from HBM. Written as an explicit
+                # mul+reduce it is an elementwise fusion XLA folds into the
+                # same loop as the gating and the masked aggregation below —
+                # one read of mij instead of three. Same params under the
+                # same tree path, same algebra.
+                ka, ba = _DenseParams(1, cfg.hidden_nf, name="att")()
+                att = nn.sigmoid(
+                    jnp.sum(mij * ka[:, 0].astype(dt), axis=-1, keepdims=True)
+                    + ba.astype(dt)
+                )
+                mij = mij * att
+            agg = _aggregate(mij, edge_mask, cfg)
         # node model: residual MLP over [h, agg]. The concat-then-Dense is
         # computed as two kernel-axis-split matmuls so the [B,N,2H] concat
         # never hits HBM (algebraically identical; the f32 accumulation is
@@ -326,7 +375,7 @@ class EquivariantBlock(nn.Module):
 
     @nn.compact
     def __call__(self, h, x, dist0, edge_mask, node_mask, update_coords_mask,
-                 nbr=None, update_rows=None, x_j=None):
+                 nbr=None, update_rows=None, x_j=None, nbr_idx=None):
         cfg = self.cfg
         if nbr is None:
             radial, coord_diff = coord2diff(x, cfg.norm_constant)
@@ -344,7 +393,8 @@ class EquivariantBlock(nn.Module):
             [radial_feat.astype(cfg.compute_dtype), dist0], axis=-1
         )
         for i in range(cfg.inv_sublayers):
-            h = GCL(cfg, name=f"gcl_{i}")(h, edge_attr, edge_mask, nbr)
+            h = GCL(cfg, name=f"gcl_{i}")(h, edge_attr, edge_mask, nbr,
+                                          nbr_idx)
             h = h * node_mask[..., None]
         x = EquivariantUpdate(cfg, self.coords_range_layer, name="coord_update")(
             h, x, coord_diff, edge_attr, edge_mask, update_coords_mask, nbr,
@@ -390,7 +440,11 @@ class EGNN(nn.Module):
             # per-block pair tensors shrink from N to K columns. The list is
             # carried as a one-hot selection matrix so every gather is an
             # MXU matmul (see gather_nodes).
-            nbr, kmask = build_neighbor_list(x, edge_mask, cfg.neighbor_k, dt)
+            nbr, kmask, nbr_idx = build_neighbor_list(
+                x, edge_mask, cfg.neighbor_k, dt
+            )
+            if not cfg.msgpass_pallas:
+                nbr_idx = None
             x_j0 = gather_nodes(x, nbr.astype(x.dtype))
             dist0 = jnp.sum(
                 (x[..., :, None, :] - x_j0) ** 2, axis=-1, keepdims=True
@@ -398,6 +452,7 @@ class EGNN(nn.Module):
             edge_mask = kmask
         else:
             nbr = None
+            nbr_idx = None
             dist0, _ = coord2diff(x)
         if cfg.sin_embedding:
             dist0 = sinusoids_embedding(dist0)
@@ -431,7 +486,7 @@ class EGNN(nn.Module):
                 x_j = None
             h, x = block_cls(cfg, coords_range_layer, name=f"e_block_{i}")(
                 h, x, dist0, edge_mask, node_mask, update_coords_mask, nbr,
-                update_rows, x_j,
+                update_rows, x_j, nbr_idx,
             )
         h = nn.Dense(self.out_node_nf, dtype=dt, name="embedding_out")(h)
         h = h * node_mask[..., None]

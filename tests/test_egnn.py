@@ -167,8 +167,9 @@ def test_neighbor_list_overflow_keeps_nearest(setup):
 
     model, params, h, x, mask, edge_mask, rng = setup
     k = 4
-    onehot, kmask = build_neighbor_list(x, edge_mask, k)
+    onehot, kmask, ridx = build_neighbor_list(x, edge_mask, k)
     idx = jnp.argmax(onehot, axis=-1)
+    np.testing.assert_array_equal(np.asarray(ridx), np.asarray(idx))
     d2 = np.asarray(jnp.sum((x[:, :, None] - x[:, None]) ** 2, axis=-1))
     em = np.asarray(edge_mask)
     for b in range(x.shape[0]):
