@@ -41,7 +41,8 @@ def test_write_pdbqt_format(tmp_path, mol_and_coords):
     assert lines[-2] == "ENDROOT"
     assert lines[-1] == "TORSDOF 0"
     atoms = [l for l in lines if l.startswith("ATOM")]
-    assert len(atoms) == len(mol.atoms)
+    # heavy atoms + the placed hydroxyl HD hydrogen (round-5 prep parity)
+    assert len(atoms) == len(mol.atoms) + 1
     # coordinates round-trip at %8.3f precision in the right columns
     x = float(atoms[0][30:38])
     y = float(atoms[0][38:46])
