@@ -148,6 +148,12 @@ class GCPGModelConfig:
     remove_pp_dis: bool = False
     n_pp_max: int = 8          # MAX_NUM_PP_GRAPHS
     dropout: float = 0.1
+    # Replicate the reference's condition-token masking bug (gcpg.py:208-210
+    # marks the cond token as padding in every attention mask, so properties
+    # never influence generation). Off in production — documented deviation,
+    # PARITY.md — but switchable so the transplant parity suite can compare
+    # the full forward against the reference's actual numerics.
+    mask_cond_token: bool = False
 
 
 @dataclasses.dataclass(frozen=True)

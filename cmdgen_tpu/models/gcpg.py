@@ -124,14 +124,10 @@ class GCPG(nn.Module):
         s = x.shape[1]
         x = x + self.pos[None, :s, :]
         seq = jnp.concatenate([cond_emb, vvs, x], axis=1)
-        valid = jnp.concatenate(
-            [
-                jnp.ones((x.shape[0], 1)),
-                pp_mask,
-                input_valid,
-            ],
-            axis=1,
+        cond_valid = jnp.full(
+            (x.shape[0], 1), 0.0 if self.cfg.mask_cond_token else 1.0
         )
+        valid = jnp.concatenate([cond_valid, pp_mask, input_valid], axis=1)
         enc = self.encoder(seq, valid, deterministic=deterministic)
         tok = enc[:, 1 + self.cfg.n_pp_max :, :]
         ones_q = jnp.ones((tok.shape[0], 1, tok.shape[-1]))
@@ -153,13 +149,11 @@ class GCPG(nn.Module):
         zz = self.expand(z)[:, None, :] + self.pos[None, :1, :]
         zzs = zz + self.zz_seg
         mem = jnp.concatenate([cond_emb, vvs, zzs], axis=1)
+        cond_valid = jnp.full(
+            (z.shape[0], 1), 0.0 if self.cfg.mask_cond_token else 1.0
+        )
         valid = jnp.concatenate(
-            [
-                jnp.ones((z.shape[0], 1)),
-                pp_mask,
-                jnp.ones((z.shape[0], 1)),
-            ],
-            axis=1,
+            [cond_valid, pp_mask, jnp.ones((z.shape[0], 1))], axis=1
         )
         mem = self.dencoder(mem, valid, deterministic=deterministic)
         return mem, valid
