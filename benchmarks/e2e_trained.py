@@ -82,6 +82,10 @@ def main():
                     help="SMILES scored per hypothesis for the match score")
     ap.add_argument("--decode-temperature", type=float, default=1.0,
                     help="sampling-logit temperature for the SMILES decode")
+    ap.add_argument("--keep-top-match-frac", type=float, default=None,
+                    help="rank aligned output by pharmacophore match and "
+                    "keep this fraction (virtual-screening selection); "
+                    "reports kept_mols_per_min incl. ranking time")
     args = ap.parse_args()
 
     from cmdgen_tpu.chem.match import get_match_scores
@@ -113,6 +117,7 @@ def main():
         smiles_per_hypothesis=args.smiles_per_hypothesis,
         decode_batch=min(512, args.smiles_per_hypothesis),
         decode_temperature=args.decode_temperature,
+        keep_top_match_frac=args.keep_top_match_frac,
     )
 
     # warmup compiles every jit shape once (excluded from measurement)
@@ -192,6 +197,14 @@ def main():
     out["vs_target_1k_per_min"] = round(
         stats["aligned_mols_per_min"] / 1000.0, 3
     )
+    if args.keep_top_match_frac is not None and "kept" in stats:
+        # throughput of the SELECTED output set, charging the ranking time
+        out["kept_mols_per_min"] = round(
+            stats["kept"]
+            / (stats["wall_s"] + stats.get("match_rank_busy_s", 0.0))
+            * 60.0,
+            1,
+        )
     out["clamp_x"] = args.clamp_x
     out["timesteps"] = args.timesteps or dcfg.ddpm.timesteps
     if args.decode_temperature != 1.0:
