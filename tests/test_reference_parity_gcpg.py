@@ -96,11 +96,29 @@ class _StandInMHA(tnn.Module):
                 need_weights=True, **_):
         # (T, B, C) layout like fairseq
         tq, bsz, _ = query.shape
-        tk = key.shape[0]
         h, hd = self.num_heads, self.head_dim
         q = self.q_proj(query) * self.scaling
-        k = self.k_proj(key)
-        v = self.v_proj(value)
+        if incremental_state is not None:
+            # fairseq's per-module saved-state protocol (keys scoped by
+            # instance): static_kv caches the projected memory once;
+            # self-attention appends the current step's k/v to the stored
+            # prefix (multihead_attention.py _get/_set_input_buffer)
+            st = incremental_state.setdefault(str(id(self)), {})
+            if static_kv and "k" in st:
+                k, v = st["k"], st["v"]
+            else:
+                k_new = self.k_proj(key)
+                v_new = self.v_proj(value)
+                if not static_kv and "k" in st:
+                    k = torch.cat([st["k"], k_new], dim=0)
+                    v = torch.cat([st["v"], v_new], dim=0)
+                else:
+                    k, v = k_new, v_new
+                st["k"], st["v"] = k, v
+        else:
+            k = self.k_proj(key)
+            v = self.v_proj(value)
+        tk = k.shape[0]
         q = q.view(tq, bsz * h, hd).transpose(0, 1)
         k = k.view(tk, bsz * h, hd).transpose(0, 1)
         v = v.view(tk, bsz * h, hd).transpose(0, 1)
@@ -175,12 +193,15 @@ class _StandInDecoderLayer(tnn.Module):
         x = self.self_attn_layer_norm(x)
         x, _ = self.self_attn(x, x, x,
                               key_padding_mask=self_attn_padding_mask,
-                              attn_mask=self_attn_mask)
+                              attn_mask=self_attn_mask,
+                              incremental_state=incremental_state)
         x = residual + x
         residual = x
         x = self.encoder_attn_layer_norm(x)
         x, _ = self.encoder_attn(x, encoder_out, encoder_out,
-                                 key_padding_mask=encoder_padding_mask)
+                                 key_padding_mask=encoder_padding_mask,
+                                 incremental_state=incremental_state,
+                                 static_kv=incremental_state is not None)
         x = residual + x
         residual = x
         x = self.final_layer_norm(x)
@@ -550,6 +571,71 @@ def test_decoder_logits_and_loss_match_reference(both):
     ref_out, ours, _ = both
     np.testing.assert_allclose(ours["logits"], ref_out["logits"], **TOL)
     np.testing.assert_allclose(ours["lm"], ref_out["lm"], rtol=2e-4)
+
+
+def test_incremental_decode_matches_reference(refg, both):
+    """The deployed decode path: the reference's forward_one incremental
+    decoder (gcpg.py:246-285, transformer_blocks.py:122-133) vs our
+    KV-cache decode_step, per-step word_pred logits over a FORCED token
+    sequence (forced tokens avoid argmax-tiebreak chaos on an untrained
+    model; our scan decode == full decode is covered in
+    tests/test_gcpg_model.py)."""
+    ref_out, ours_prev, data = both
+    vv, pp_valid, tokens, tok_valid, cond, eps = data
+
+    # --- reference side: incremental loop with forced tokens
+    mem_t = torch.from_numpy(ref_out["mem"])  # (10, B, H)
+    pp_mask_t = torch.from_numpy(pp_valid < 0.5)
+    cond_mask = torch.ones(B, 1, dtype=torch.bool)
+    full_mask = torch.cat(
+        [cond_mask, pp_mask_t, torch.zeros(B, 1, dtype=torch.bool)], dim=1)
+    forced = torch.from_numpy(tokens.astype(np.int64))
+    steps = SEQ - 1
+    ref_logits = []
+    with torch.no_grad():
+        inc = {}
+        text_pos = refg.pos_encoding.pe
+        emb = refg.word_embed(forced[:, 0]) + text_pos[0]
+        emb = emb.unsqueeze(0)
+        for t in range(1, steps + 1):
+            one = refg.decoder.forward_one(
+                emb, mem_t, inc, mem_padding_mask=full_mask).squeeze(0)
+            ref_logits.append(refg.word_pred(one).numpy())
+            emb = (refg.word_embed(forced[:, t]) + text_pos[t]).unsqueeze(0)
+    ref_logits = np.stack(ref_logits, axis=1)  # [B, steps, V]
+
+    # --- our side: decode_one over the same forced tokens
+    from cmdgen_tpu.config import GCPGModelConfig
+    from cmdgen_tpu.models.gcpg import GCPG
+
+    cfg = GCPGModelConfig(
+        max_len=MAX_LEN, pp_v_dim=8, pp_e_dim=1, pp_encoder_n_layer=2,
+        hidden_dim=HID, n_layers=N_LAYERS, ff_dim=FF, n_head=N_HEAD,
+        cond_dim=COND, mask_cond_token=True,
+    )
+    model = GCPG(cfg, vocab_size=VOCAB, sos_value=0, eos_value=1,
+                 pad_value=2)
+    key = jax.random.PRNGKey(0)
+    pp_h = jnp.zeros((B, N_PP, 8))
+    pp_e = jnp.zeros((B, N_PP, N_PP, 1))
+    params = model.init(
+        key, key, jnp.asarray(tokens), jnp.asarray(tok_valid), pp_h, pp_e,
+        jnp.asarray(pp_valid), jnp.asarray(tokens), jnp.asarray(cond),
+    )
+    params = _transplant(refg, params)
+    m = model.bind(params)
+    mem = jnp.asarray(ours_prev["mem"])
+    mem_valid = jnp.concatenate(
+        [jnp.zeros((B, 1)), jnp.asarray(pp_valid), jnp.ones((B, 1))], axis=1)
+    cache_k, cache_v = m.init_cache(B)
+    our_logits = []
+    for t in range(steps):
+        lg, cache_k, cache_v = m.decode_one(
+            jnp.asarray(tokens[:, t]), t, mem, mem_valid, cache_k, cache_v)
+        our_logits.append(np.asarray(lg))
+    our_logits = np.stack(our_logits, axis=1)
+
+    np.testing.assert_allclose(our_logits, ref_logits, **TOL)
 
 
 def test_mapping_head_matches_reference(both):
