@@ -86,6 +86,13 @@ def main():
                     help="rank aligned output by pharmacophore match and "
                     "keep this fraction (virtual-screening selection); "
                     "reports kept_mols_per_min incl. ranking time")
+    # align-stage throughput knobs: validity and the match score are
+    # SMILES-level metrics, so conformer count / refinement only trade
+    # RMSD quality for align-stage speed (the bottleneck once the GCPG
+    # matches well: 74 of 120 busy-seconds in the round-5 warmup)
+    ap.add_argument("--n-conformers", type=int, default=5)
+    ap.add_argument("--refine-steps", type=int, default=100)
+    ap.add_argument("--align-chunk", type=int, default=64)
     args = ap.parse_args()
 
     from cmdgen_tpu.chem.match import get_match_scores
@@ -118,6 +125,10 @@ def main():
         decode_batch=min(512, args.smiles_per_hypothesis),
         decode_temperature=args.decode_temperature,
         keep_top_match_frac=args.keep_top_match_frac,
+        n_conformers=args.n_conformers,
+        refine_steps=args.refine_steps,
+        align_chunk=args.align_chunk,
+        num_keep=min(3, args.n_conformers),
     )
 
     # warmup compiles every jit shape once (excluded from measurement)
