@@ -193,6 +193,7 @@ def corpus_properties(smiles_list):
 
 def gcpg_quality(quick=False, n_corpus=None, epochs=None, workdir=None,
                  eval_only=False, long_frac=0.0, with_properties=True,
+                 consensus_noise=0.0,
                  complexity_frac=0.0, ion_frac=0.0):
     from cmdgen_tpu.config import GCPGModelConfig, GCPGTrainConfig
     from cmdgen_tpu.pipeline.evaluate import eval_gcpg
@@ -220,6 +221,7 @@ def gcpg_quality(quick=False, n_corpus=None, epochs=None, workdir=None,
     n_epochs = epochs or (2 if quick else 40)
     tcfg = GCPGTrainConfig(
         batch_size=128, n_epochs=n_epochs, lr=5e-4, cosine_t_max=n_epochs,
+        consensus_noise=consensus_noise,
     )
     tmp_ctx = tempfile.TemporaryDirectory() if workdir is None else None
     out_dir = pathlib.Path(workdir or tmp_ctx.name) / "gcpg_ckpt"
@@ -477,6 +479,9 @@ if __name__ == "__main__":
                          "synthesizability extremes (half simple chains, "
                          "half bridged polycyclics) so the SAS/MW/logP "
                          "condition support is wide")
+    ap.add_argument("--gcpg-consensus-noise", type=float, default=0.0,
+                    help="fraction of training pp-graphs re-drawn consensus-"
+                         "style (decode-time size prior + distance jitter)")
     ap.add_argument("--gcpg-ion-frac", type=float, default=0.0,
                     help="fraction of corpus molecules built as long-span "
                          "ionizable chains (guaranteed PosIonizable head + "
@@ -550,5 +555,6 @@ if __name__ == "__main__":
             long_frac=args.gcpg_long_frac,
             complexity_frac=args.gcpg_complexity_frac,
             ion_frac=args.gcpg_ion_frac,
+            consensus_noise=args.gcpg_consensus_noise,
         ))
     print(json.dumps(out))

@@ -332,6 +332,10 @@ def _add_train_gcpg(sub):
                         "degenerates to a constant, behaviorally a model "
                         "without the condition input. Skips descriptor "
                         "computation (the legacy script computes none).")
+    p.add_argument("--consensus-noise", type=float, default=0.0,
+                   help="fraction of training pp-graphs re-drawn consensus-"
+                        "style (decode-time size prior + distance jitter) — "
+                        "closes the train/serve graph-distribution gap")
 
     def run(args):
         import dataclasses
@@ -353,6 +357,7 @@ def _add_train_gcpg(sub):
             )
         tcfg = GCPGTrainConfig(
             batch_size=args.batch_size, n_epochs=args.epochs,
+            consensus_noise=args.consensus_noise,
         )
         if args.score_only_gate:
             tcfg = dataclasses.replace(tcfg, condition_gate=FINETUNE_GATE)

@@ -179,6 +179,17 @@ class GCPGTrainConfig:
     # (the host-fed loop is transfer/latency-bound over a tunnelled TPU).
     resident_data: str = "auto"  # 'auto' | 'on' | 'off'
     resident_variants: int = 8
+    # fraction of training items whose pp-graph is re-drawn CONSENSUS-STYLE
+    # (data/dataset.py:consensus_style_graph): node sizes resampled from
+    # the decode-time type-size prior and edge distances jittered with the
+    # edis2sdis geometric-error model. Decode-time hypotheses (GMM
+    # consensus of diffused clouds -> chem/posp.points_to_graph) carry
+    # prior-drawn sizes and noisy linearly-mapped Euclidean distances; the
+    # reference only ever trains on exact bond-path graphs, which is why
+    # validity collapses out-of-distribution (0.95 in-dist vs 0.80-0.86 on
+    # consensus hypotheses, rounds 4-5). Domain randomization closes that
+    # train/serve gap.
+    consensus_noise: float = 0.0
 
 
 def _to_dict(obj) -> Any:

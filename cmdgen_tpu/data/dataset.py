@@ -165,6 +165,39 @@ PROPERTY_KEYS = ["MW", "logP", "QED", "SAS", "HBA", "HBD",
                  "RotaNumBonds", "Score", "Smi"]
 
 
+def consensus_style_graph(pp_h, pp_e, pp_mask, py_rng, np_rng):
+    """Re-draw an exact training pp-graph the way decode-time hypotheses
+    are built (chem/posp.points_to_graph): node sizes resampled from the
+    type-conditional size prior (posp._format_type draws them independently
+    of the actual feature) and pairwise distances jittered with the
+    consensus-geometry error model (GMM cluster centers + the edis2sdis
+    linear proxy are ~1 bond-unit noisy vs true bond-path distances).
+    Types, mask, and the atom<->node mapping stay exact. Returns new
+    (pp_h, pp_e); inputs are not mutated."""
+    from cmdgen_tpu.chem.posp import IDX2SIZE
+
+    pp_h = pp_h.copy()
+    pp_e = pp_e.copy()
+    k = int(pp_mask.sum())
+    for i in range(k):
+        size = -1.0
+        for t in range(7):
+            if pp_h[i, t] > 0:
+                sizes, probs = IDX2SIZE[t]
+                size = max(size, float(
+                    py_rng.choices(sizes, weights=probs, k=1)[0]))
+        if size > 0:
+            pp_h[i, 7] = size
+    if k > 1:
+        jit = np_rng.normal(0.0, 1.0, size=(k, k)).astype(np.float32)
+        jit = np.triu(jit, 1)
+        jit = jit + jit.T
+        d = np.maximum(pp_e[:k, :k, 0] + jit, 0.5)
+        np.fill_diagonal(d, 0.0)
+        pp_e[:k, :k, 0] = d
+    return pp_h, pp_e
+
+
 class GCPGSmilesDataset:
     def __init__(
         self,
@@ -176,6 +209,7 @@ class GCPGSmilesDataset:
         use_random_target_smiles: bool = False,
         corrupt: bool = True,
         seed: int = 0,
+        consensus_noise: float = 0.0,
     ):
         self.smiles_list = list(smiles_list)
         self.properties = {
@@ -187,6 +221,7 @@ class GCPGSmilesDataset:
         self.use_random_input = use_random_input_smiles
         self.use_random_target = use_random_target_smiles
         self.corrupt = corrupt
+        self.consensus_noise = consensus_noise
         self.np_rng = np.random.RandomState(seed)
         self.py_rng = _random.Random(seed)
 
@@ -218,6 +253,11 @@ class GCPGSmilesDataset:
         if pg is None:
             return None
         pp_h, pp_e, pp_mask, mapping = pg
+        if (self.consensus_noise > 0.0
+                and self.py_rng.random() < self.consensus_noise):
+            pp_h, pp_e = consensus_style_graph(
+                pp_h, pp_e, pp_mask, self.py_rng, self.np_rng
+            )
         # token-level mapping: -100 ignore everywhere except atom tokens
         mapping_tok = np.full(
             (len(target_seq), MAX_NUM_PP_GRAPHS), -100.0, dtype=np.float32

@@ -216,6 +216,7 @@ def train_gcpg(
     data = GCPGSmilesDataset(
         smiles_list, properties, tokenizer, max_len=model_cfg.max_len,
         use_random_input_smiles=True, corrupt=True, seed=train_cfg.seed,
+        consensus_noise=getattr(train_cfg, "consensus_noise", 0.0),
     )
     model = GCPG(model_cfg, vocab_size=len(tokenizer))
 

@@ -263,6 +263,67 @@ def test_gcpg_dataset_and_train_step():
     assert losses[-1] < losses[0]
 
 
+def test_gcpg_consensus_noise_graph_randomization():
+    """consensus_noise re-draws sizes from the decode-time prior and
+    jitters distances, leaving types/mask/mapping/tokens exact; the
+    distance matrix stays symmetric, zero-diagonal, >= 0.5 off-diagonal;
+    noise=0 reproduces the exact graphs."""
+    from cmdgen_tpu.chem.posp import IDX2SIZE
+
+    smiles = ["CC(=O)Oc1ccccc1C(=O)O", "NCCc1ccc(O)c(O)c1",
+              "CC(C)Cc1ccc(cc1)C(C)C(=O)O"] * 4
+    props = {"MW": [180.0] * 12}
+    tok = Tokenizer(gen_vocabs(smiles))
+    kw = dict(max_len=64, use_random_input_smiles=False, corrupt=False)
+    exact = ds.GCPGSmilesDataset(smiles, props, tok, seed=3, **kw)
+    noisy = ds.GCPGSmilesDataset(
+        smiles, props, tok, seed=3, consensus_noise=1.0, **kw
+    )
+    n_size_changed = n_dist_changed = 0
+    for i in range(len(smiles)):
+        a, b = exact.get_item(i), noisy.get_item(i)
+        assert (a is None) == (b is None)
+        if a is None:
+            continue
+        # same molecule-derived structure (types, mask, mapping, tokens);
+        # the same seed keeps the SUS feature draw aligned up to the first
+        # noise consumption, so compare per-item invariants only
+        k = int(b["pp_mask"].sum())
+        assert k >= 2
+        d = b["pp_e"][:k, :k, 0]
+        np.testing.assert_allclose(d, d.T, atol=0)
+        assert np.all(np.diag(d) == 0.0)
+        off = d[~np.eye(k, dtype=bool)]
+        assert np.all(off >= 0.5)
+        # noisy sizes come from the decode-time prior support
+        for r in range(k):
+            types = np.flatnonzero(b["pp_h"][r, :7] > 0)
+            support = {s for t in types for s in IDX2SIZE[int(t)][0]}
+            assert int(b["pp_h"][r, 7]) in support
+        n_size_changed += int(
+            a["pp_mask"].sum() == k
+            and not np.array_equal(a["pp_h"][:k, 7], b["pp_h"][:k, 7])
+        )
+        n_dist_changed += int(
+            a["pp_mask"].sum() == k
+            and not np.allclose(a["pp_e"][:k, :k], b["pp_e"][:k, :k])
+        )
+    assert n_dist_changed > 0  # the jitter actually fires
+
+    # noise=0.0 is the exact path (fresh instances: get_item advances the
+    # dataset RNG, so equality only holds between same-seed fresh objects)
+    fresh_a = ds.GCPGSmilesDataset(smiles, props, tok, seed=3, **kw)
+    fresh_b = ds.GCPGSmilesDataset(
+        smiles, props, tok, seed=3, consensus_noise=0.0, **kw
+    )
+    for i in range(len(smiles)):
+        a, c = fresh_a.get_item(i), fresh_b.get_item(i)
+        if a is None:
+            continue
+        np.testing.assert_array_equal(a["pp_h"], c["pp_h"])
+        np.testing.assert_array_equal(a["pp_e"], c["pp_e"])
+
+
 def test_gcpg_resident_multistep_matches_host_step():
     """The device-resident scan path must reproduce the host-fed step
     exactly: same batch content (via stacked_variants of a deterministic
