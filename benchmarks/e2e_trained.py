@@ -131,16 +131,23 @@ def main():
         num_keep=min(3, args.n_conformers),
     )
 
-    # warmup compiles every jit shape once (excluded from measurement)
+    # warmup compiles every jit shape once (excluded from measurement) —
+    # with bucketed pocket padding that means one pocket per size BUCKET
+    # present in the measured set (distinct buckets are distinct shapes)
+    pockets = [mk_pocket(i) for i in range(args.pockets)]
+    bucket = pcfg.pocket_pad_bucket or 1
+    warm_by_bucket = {}
+    for i in range(args.pockets):
+        warm_by_bucket.setdefault(
+            -(-pockets[i][0].shape[0] // bucket), i)
     t0 = time.perf_counter()
     _, warm = run_all.run_pipeline(
         diff_model, diff_params, gmodel, gparams, tok,
-        [mk_pocket(len(test_ds) - 1)], jax.random.PRNGKey(1), pcfg,
+        [mk_pocket(i) for i in warm_by_bucket.values()],
+        jax.random.PRNGKey(1), pcfg,
     )
-    print(f"# warmup {time.perf_counter() - t0:.1f}s: {warm}",
-          file=sys.stderr)
-
-    pockets = [mk_pocket(i) for i in range(args.pockets)]
+    print(f"# warmup {time.perf_counter() - t0:.1f}s "
+          f"({len(warm_by_bucket)} buckets): {warm}", file=sys.stderr)
     collect: dict = {}
     results, stats = run_all.run_pipeline(
         diff_model, diff_params, gmodel, gparams, tok,

@@ -79,6 +79,12 @@ class PipelineConfig:
     align_chunk: int = 64                # fixed M per align jit (no recompiles)
     size_bucket: int = 16                # atom-count padding granularity
     queue_depth: int = 8
+    # pad pockets to this node-count granularity before stage-1 sampling:
+    # one jit shape per size bucket instead of one REMOTE compile per
+    # distinct pocket size (~19 s/pocket over the axon tunnel — the
+    # measured stage-1 cost of the streaming run was compile, not math).
+    # Mask-exact (padding is ignored by every reduction).
+    pocket_pad_bucket: Optional[int] = 16
     # drop sampled points farther than this from the nearest pocket atom
     # before consensus pooling. Physically grounded: real pharmacophore
     # points sit in contact with the pocket (p99 nearest-CA distance
@@ -200,6 +206,7 @@ def run_pipeline(
                     cfg.n_clouds_per_pocket, n_phar_max=cfg.n_phar_max,
                     batch_size=cfg.n_clouds_per_pocket,
                     timesteps=cfg.diff_timesteps,
+                    pocket_pad_bucket=cfg.pocket_pad_bucket,
                 )
                 stats["sample_busy_s"] += time.perf_counter() - t0
                 pts, fams = _flatten_cloud_dict(clouds)

@@ -86,16 +86,40 @@ def sample_pharmacophores(
     n_phar_max: int = 16,
     batch_size: int = 64,
     timesteps: Optional[int] = None,
+    pocket_pad_bucket: Optional[int] = None,
 ) -> Dict[str, Dict[str, List[List[float]]]]:
     """Sample n_samples pharmacophore clouds for one pocket.
 
     Returns the JSON-ready dict. The pocket is tiled across the batch
     (lightning_modules.py:455-458); sampled coordinates are shifted back by
     the pocket-CoM displacement (497-504).
+
+    ``pocket_pad_bucket``: pad the pocket node axis up to a multiple of
+    this granularity (mask-exact: every reduction in the model ignores
+    padding). Without it, every distinct pocket size is a fresh jit shape
+    — a multi-second remote XLA compile per pocket over the axon tunnel
+    was the measured stage-1 bottleneck of the streaming pipeline
+    (~19 s/pocket vs ~1 s device time, runs/e2e_r5_grid.log); bucketing
+    also stops small pockets paying max-size pair traffic (PERF.md
+    route item 2).
     """
     nq, nf = pocket_onehot.shape
+    nq_real = nq
+    if pocket_pad_bucket:
+        nq = -(-nq // pocket_pad_bucket) * pocket_pad_bucket
+        pad = nq - nq_real
+        if pad:
+            pocket_coords = np.concatenate(
+                [pocket_coords, np.zeros((pad, 3), pocket_coords.dtype)]
+            )
+            pocket_onehot = np.concatenate(
+                [pocket_onehot, np.zeros((pad, nf), pocket_onehot.dtype)]
+            )
+    pocket_mask_row = jnp.asarray(
+        (np.arange(nq) < nq_real).astype(np.float32)
+    )
     out: Dict[str, Dict[str, List[List[float]]]] = {}
-    pocket_com_before = pocket_coords.mean(axis=0)
+    pocket_com_before = pocket_coords[:nq_real].mean(axis=0)
     joint_mode = not hasattr(model, "sample_given_pocket")
 
     done = 0
@@ -105,14 +129,14 @@ def sample_pharmacophores(
         pocket = PointCloud(
             x=jnp.broadcast_to(jnp.asarray(pocket_coords), (b, nq, 3)),
             h=jnp.broadcast_to(jnp.asarray(pocket_onehot), (b, nq, nf)),
-            mask=jnp.ones((b, nq)),
+            mask=jnp.broadcast_to(pocket_mask_row, (b, nq)),
         )
         if num_nodes is None:
             if model.size_prior is None:
                 nn = jnp.full((b,), 5)
             else:
                 nn = model.size_prior.sample_conditional_n1(
-                    k_size, jnp.full((b,), nq)
+                    k_size, jnp.full((b,), nq_real)
                 )
             nn = jnp.clip(nn, 1, n_phar_max)
         else:

@@ -91,6 +91,29 @@ def test_end_to_end_pipeline(fake_pdb, tmp_path):
     json_path = tmp_path / "cloud.json"
     json_path.write_text(json.dumps(cloud))
 
+    # bucketed pocket padding is mask-exact: same key, padded pocket =>
+    # the same clouds (one jit shape per size bucket instead of one
+    # remote compile per distinct pocket size)
+    cloud_pad = sample_phars.sample_pharmacophores(
+        model, params, jax.random.PRNGKey(1), coords, onehot,
+        n_samples=24, num_nodes=np.full(24, 4), n_phar_max=4,
+        batch_size=12, pocket_pad_bucket=16,
+    )
+    assert cloud_pad.keys() == cloud.keys()
+    for mol in cloud:
+        a = sorted(
+            (f, tuple(p)) for f, pts in cloud[mol].items() for p in pts
+        )
+        b = sorted(
+            (f, tuple(p)) for f, pts in cloud_pad[mol].items() for p in pts
+        )
+        assert [f for f, _ in a] == [f for f, _ in b]
+        np.testing.assert_allclose(
+            np.asarray([p for _, p in a]),
+            np.asarray([p for _, p in b]),
+            atol=2e-3,
+        )
+
     # sampled clouds should sit near the pocket (same frame)
     allpts = np.array(
         [p for mol in cloud.values() for v in mol.values() for p in v]
