@@ -56,14 +56,18 @@ def measure_bandwidth(mb: int, steps: int = 200) -> float:
         def body(c, _):
             return c * jnp.bfloat16(1.0001) + jnp.bfloat16(1e-6), ()
         c, _ = jax.lax.scan(body, x, None, length=steps)
-        return c
+        # ship only 16 bytes to host: fetching the full carry times the
+        # axon TUNNEL (~16 GB/s network), not device HBM — the round-5
+        # first run of this probe made exactly that mistake
+        return c[:8]
 
     dt = _time_call(run, x)
     total_bytes = 2.0 * (n * 2) * steps  # read + write per step
     return total_bytes / dt / 1e9
 
 
-def sampler_step_ms(hidden: int, k: int, b: int = 48, t_steps: int = 200):
+def sampler_step_ms(hidden: int, k: int = 12, b: int = 48,
+                    t_steps: int = 200):
     """Per-batch-step ms of the real reverse chain at bench.py geometry."""
     from cmdgen_tpu.config import ca_config
     from cmdgen_tpu.containers import PointCloud, mask_from_sizes
@@ -123,15 +127,29 @@ def main():
     out["implied_ceiling_steps_s"] = round(bw / est_gb * 48, 0)
 
     ms = {}
-    for h, k in ((256, 12), (128, 12), (256, 6)):
+    for h, k in ((256, 12), (128, 12), (256, 6), (256, 16)):
         ms[f"h{h}_k{k}"] = round(sampler_step_ms(h, k), 3)
+    ms["h256_k12_b24"] = round(sampler_step_ms(256, 12, b=24), 3)
     out["step_ms"] = ms
     out["measured_steps_s_flagship"] = round(48 / ms["h256_k12"] * 1e3, 0)
     # bytes scale ~H and ~K; FLOPs ~H^2 and ~K. ratio near byte-prediction
     # (2x / 2x) => bandwidth-bound; near FLOP-prediction (4x / 2x on the
-    # H axis) => compute-bound.
+    # H axis) => compute-bound. The round-5 first run measured H-ratio
+    # 1.10 / K-ratio 1.57: the step is dominated by H-independent,
+    # K-linear work, NOT the [B,N,K,H] HBM chains. Linear decomposition
+    # t = fixed + aK*K + aH*H quantifies the three components; the b=24
+    # point separates per-sample work from batch-fixed overhead.
     out["h_scaling_ratio"] = round(ms["h256_k12"] / ms["h128_k12"], 2)
     out["k_scaling_ratio"] = round(ms["h256_k12"] / ms["h256_k6"], 2)
+    a_k = (ms["h256_k12"] - ms["h256_k6"]) / 6.0
+    a_h = (ms["h256_k12"] - ms["h128_k12"]) / 128.0
+    fixed = ms["h256_k12"] - a_k * 12 - a_h * 256
+    out["linear_decomposition_ms"] = {
+        "fixed": round(fixed, 3), "per_k": round(a_k, 4),
+        "per_h": round(a_h, 5),
+        "k16_check": round(fixed + a_k * 16 + a_h * 256, 3),
+    }
+    out["b_scaling_ratio"] = round(ms["h256_k12"] / ms["h256_k12_b24"], 2)
     print(json.dumps(out))
 
 
