@@ -80,8 +80,18 @@ def main():
     ap.add_argument("--cluster-counts", type=int, nargs="+", default=[4, 5])
     ap.add_argument("--match-sample", type=int, default=128,
                     help="SMILES scored per hypothesis for the match score")
-    ap.add_argument("--decode-temperature", type=float, default=1.0,
-                    help="sampling-logit temperature for the SMILES decode")
+    ap.add_argument("--decode-temperature", type=float, nargs="+",
+                    default=[1.0],
+                    help="sampling-logit temperature(s) for the SMILES "
+                    "decode; several values sweep variants in ONE process "
+                    "(the warmup compiles are shared — temperature is a "
+                    "traced scalar)")
+    ap.add_argument("--validity-gate", type=float, nargs="+", default=None,
+                    help="per-hypothesis validity gate threshold(s); "
+                    "negative = gate off; crossed with the temperature "
+                    "list (one measured run + JSON row per combination)")
+    ap.add_argument("--gate-probe", type=int, default=256,
+                    help="probe decodes per hypothesis for the gate")
     ap.add_argument("--keep-top-match-frac", type=float, default=None,
                     help="rank aligned output by pharmacophore match and "
                     "keep this fraction (virtual-screening selection); "
@@ -116,6 +126,9 @@ def main():
         test_ds.pocket_one_hot[i].astype(np.float32),
     )
 
+    gates = [g if g >= 0 else None for g in (args.validity_gate or [-1.0])]
+    variants = [(t, g) for t in args.decode_temperature for g in gates]
+
     pcfg = run_all.PipelineConfig(
         n_clouds_per_pocket=args.clouds,
         diff_timesteps=args.timesteps,
@@ -123,12 +136,13 @@ def main():
         cluster_counts=tuple(args.cluster_counts),
         smiles_per_hypothesis=args.smiles_per_hypothesis,
         decode_batch=min(512, args.smiles_per_hypothesis),
-        decode_temperature=args.decode_temperature,
+        decode_temperature=variants[0][0],
         keep_top_match_frac=args.keep_top_match_frac,
         n_conformers=args.n_conformers,
         refine_steps=args.refine_steps,
         align_chunk=args.align_chunk,
         num_keep=min(3, args.n_conformers),
+        validity_probe=args.gate_probe,
     )
 
     # warmup compiles every jit shape once (excluded from measurement) —
@@ -148,11 +162,21 @@ def main():
     )
     print(f"# warmup {time.perf_counter() - t0:.1f}s "
           f"({len(warm_by_bucket)} buckets): {warm}", file=sys.stderr)
-    collect: dict = {}
-    results, stats = run_all.run_pipeline(
-        diff_model, diff_params, gmodel, gparams, tok,
-        pockets, jax.random.PRNGKey(7), pcfg, collect=collect,
-    )
+    for temp, gate in variants:
+        vcfg = dataclasses.replace(
+            pcfg, decode_temperature=temp, validity_gate=gate
+        )
+        collect: dict = {}
+        results, stats = run_all.run_pipeline(
+            diff_model, diff_params, gmodel, gparams, tok,
+            pockets, jax.random.PRNGKey(7), vcfg, collect=collect,
+        )
+        _report(args, dcfg, collect, results, stats, temp, gate)
+
+
+def _report(args, dcfg, collect, results, stats, temp, gate):
+    from cmdgen_tpu.chem.match import get_match_scores
+    from cmdgen_tpu.chem.posp import points_to_graph
 
     # ---- quality from the same run
     out = dict(stats)
@@ -225,9 +249,17 @@ def main():
         )
     out["clamp_x"] = args.clamp_x
     out["timesteps"] = args.timesteps or dcfg.ddpm.timesteps
-    if args.decode_temperature != 1.0:
-        out["decode_temperature"] = args.decode_temperature
-    print(json.dumps(out))
+    if temp != 1.0:
+        out["decode_temperature"] = temp
+    if gate is not None:
+        out["validity_gate"] = gate
+    hv = collect.get("hyp_validity", {})
+    if hv:
+        vals = sorted(hv.values())
+        out["hyp_validity_min"] = round(vals[0], 3)
+        out["hyp_validity_median"] = round(vals[len(vals) // 2], 3)
+        out["hyp_validity_max"] = round(vals[-1], 3)
+    print(json.dumps(out), flush=True)
 
 
 if __name__ == "__main__":

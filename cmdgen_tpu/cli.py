@@ -464,6 +464,15 @@ def _add_run_all(sub):
                    help="sampling-logit temperature for the SMILES "
                         "decode (<1 sharpens: higher validity on "
                         "out-of-distribution hypotheses)")
+    p.add_argument("--validity-gate", type=float, default=None,
+                   metavar="THRESH",
+                   help="per-hypothesis validity gate: decode a probe "
+                        "batch first and skip hypotheses whose probe "
+                        "validity is below THRESH (the GCPG is ~0.97 "
+                        "valid in-distribution; gating ships only from "
+                        "hypotheses it handles well)")
+    p.add_argument("--gate-probe", type=int, default=256,
+                   help="probe decodes per hypothesis for --validity-gate")
 
     def run(args):
         import dataclasses
@@ -520,6 +529,8 @@ def _add_run_all(sub):
                             if args.contact_filter > 0 else None),
             keep_top_match_frac=args.keep_top_match,
             decode_temperature=args.decode_temperature,
+            validity_gate=args.validity_gate,
+            validity_probe=args.gate_probe,
         )
         results, stats = run_pipeline(
             model, params, gmodel, gparams, tokenizer, pockets,

@@ -101,6 +101,17 @@ class PipelineConfig:
     # effect is explicit, not hidden.
     keep_top_match_frac: Optional[float] = None
     match_workers: int = 8
+    # Hypothesis validity gate (opt-in): decode a small probe batch per
+    # consensus hypothesis first and skip the full decode volume for
+    # hypotheses whose probe validity falls below the threshold. The
+    # GCPG's validity is ~0.97 in-distribution but drops hypothesis-by-
+    # hypothesis on out-of-distribution consensus geometry; gating ships
+    # only from hypotheses the generator handles well. Probe decodes are
+    # NOT shipped and NOT counted in raw/valid_smiles (the decision is
+    # made on a separate draw); their cost stays in decode_busy_s and the
+    # drop counts are reported (gate_dropped / gate_probe_smiles).
+    validity_gate: Optional[float] = None
+    validity_probe: int = 256
 
 
 @dataclasses.dataclass
@@ -254,6 +265,41 @@ def run_pipeline(
                     break
                 hid, types, ppc, pp_h, pp_e, pp_m = item
                 b = cfg.decode_batch
+                if cfg.validity_gate is not None:
+                    # probe draw: same shapes as a full batch (no extra jit
+                    # compile), validity parsed on this thread — the probe
+                    # is a few hundred strings vs the preparer's thousands
+                    key, sub = jax.random.split(key)
+                    t0 = time.perf_counter()
+                    toks = gcpg_mod.generate(
+                        gcpg_model, gcpg_params, sub,
+                        jnp.broadcast_to(jnp.asarray(pp_h), (b, *pp_h.shape)),
+                        jnp.broadcast_to(jnp.asarray(pp_e), (b, *pp_e.shape)),
+                        jnp.broadcast_to(jnp.asarray(pp_m), (b, *pp_m.shape)),
+                        jnp.broadcast_to(
+                            jnp.asarray(grid[0]), (b, len(grid[0]))
+                        ),
+                        random_sample=True,
+                        temperature=cfg.decode_temperature,
+                    )
+                    probe = tokenizer.get_text(
+                        np.asarray(toks)[: cfg.validity_probe]
+                    )
+                    n_ok = sum(
+                        1 for s in probe if mol_from_smiles(s) is not None
+                    )
+                    stats["decode_busy_s"] += time.perf_counter() - t0
+                    stats["gate_probe_smiles"] = stats.get(
+                        "gate_probe_smiles", 0
+                    ) + len(probe)
+                    pv = n_ok / max(len(probe), 1)
+                    if collect is not None:
+                        collect.setdefault("probe_validity", {})[hid] = pv
+                    if pv < cfg.validity_gate:
+                        stats["gate_dropped"] = stats.get(
+                            "gate_dropped", 0
+                        ) + 1
+                        continue
                 raw: List[str] = []
                 remaining = cfg.smiles_per_hypothesis
                 ci = 0
@@ -304,6 +350,10 @@ def run_pipeline(
                     n_valid += 1
                     mol_by_canon.setdefault(write_smiles(m), m)
                 stats["valid_smiles"] += n_valid
+                if collect is not None:
+                    collect.setdefault("hyp_validity", {})[hid] = (
+                        n_valid / max(len(raw), 1)
+                    )
                 uniq = list(mol_by_canon)
                 stats["unique_smiles"] += len(uniq)
                 if collect is not None:

@@ -234,3 +234,57 @@ def test_keep_top_match_ranks_and_reports(tiny_models, monkeypatch):
     assert "match_score_kept" in stats
     if stats["match_score_kept"] >= 0 and stats["match_score_all_aligned"] >= 0:
         assert stats["match_score_kept"] >= stats["match_score_all_aligned"]
+
+
+def test_validity_gate_drops_bad_hypotheses(tiny_models, monkeypatch):
+    """validity_gate: a hypothesis whose PROBE decode parses below the
+    threshold ships nothing (no raw/valid counts, no aligned output); a
+    passing hypothesis ships its full volume. Probe decodes are counted
+    separately (gate_probe_smiles) and per-hypothesis probe validity is
+    recorded in collect."""
+    diff_model, diff_params, gmodel, gparams, tok, pockets = tiny_models
+
+    def fixed_consensus(coords, families, n_clusters=4, seed=0):
+        c = np.asarray(coords).mean(0)
+        return [("HYBL", c), ("HACC", c + np.asarray([2.5, 0, 0]))]
+
+    monkeypatch.setitem(run_all._CONSENSUS, "gmm", fixed_consensus)
+
+    calls = {"n": 0}
+
+    def fake_generate(model, params, rng, pp_h, pp_e, pp_m, conds, **kw):
+        # call 0 = hypothesis 0's probe -> all invalid (gate drops it);
+        # later calls (hypothesis 1 probe + its full batches) -> valid
+        b = pp_h.shape[0]
+        smi = "C(" if calls["n"] == 0 else "CCO"
+        calls["n"] += 1
+        out = np.full((b, 12), tok.s2i["<pad>"], dtype=np.int32)
+        ids = tok.parse(smi)[1:][:12]
+        for i in range(b):
+            out[i, : len(ids)] = ids
+        return jnp.asarray(out)
+
+    monkeypatch.setattr(run_all.gcpg_mod, "generate", fake_generate)
+
+    cfg = run_all.PipelineConfig(
+        n_clouds_per_pocket=4, diff_timesteps=4, n_phar_max=4,
+        cluster_counts=(2,), smiles_per_hypothesis=32, decode_batch=16,
+        n_conformers=2, refine_steps=40, num_keep=2, align_chunk=8,
+        size_bucket=8, contact_filter=None,
+        validity_gate=0.5, validity_probe=8,
+    )
+    collect = {}
+    results, stats = run_all.run_pipeline(
+        diff_model, diff_params, gmodel, gparams, tok, pockets,
+        jax.random.PRNGKey(7), cfg, collect=collect,
+    )
+    assert stats["hypotheses"] == 2
+    assert stats["gate_dropped"] == 1
+    assert stats["gate_probe_smiles"] == 16       # 2 probes x 8
+    assert stats["raw_smiles"] == 32              # only the kept hypothesis
+    assert stats["valid_smiles"] == 32
+    assert all(r.hypothesis == 1 for r in results)
+    pv = collect["probe_validity"]
+    assert pv[0] == 0.0 and pv[1] == 1.0
+    # shipped per-hypothesis validity recorded only for the kept one
+    assert list(collect["hyp_validity"]) == [1]
