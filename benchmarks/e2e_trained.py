@@ -92,6 +92,9 @@ def main():
                     "list (one measured run + JSON row per combination)")
     ap.add_argument("--gate-probe", type=int, default=256,
                     help="probe decodes per hypothesis for the gate")
+    ap.add_argument("--constrain-decode", action="store_true",
+                    help="syntax-constrained SMILES decoding (mask "
+                    "unclosable/special tokens during sampling)")
     ap.add_argument("--keep-top-match-frac", type=float, default=None,
                     help="rank aligned output by pharmacophore match and "
                     "keep this fraction (virtual-screening selection); "
@@ -143,6 +146,7 @@ def main():
         align_chunk=args.align_chunk,
         num_keep=min(3, args.n_conformers),
         validity_probe=args.gate_probe,
+        constrain_decode=args.constrain_decode,
     )
 
     # warmup compiles every jit shape once (excluded from measurement) —
@@ -253,6 +257,8 @@ def _report(args, dcfg, collect, results, stats, temp, gate):
         out["decode_temperature"] = temp
     if gate is not None:
         out["validity_gate"] = gate
+    if args.constrain_decode:
+        out["constrain_decode"] = True
     hv = collect.get("hyp_validity", {})
     if hv:
         vals = sorted(hv.values())

@@ -92,3 +92,47 @@ class Tokenizer:
         t.i2s = dict(enumerate(t.vocabs))
         t.s2i = {s: i for i, s in t.i2s.items()}
         return t
+
+
+def syntax_tables(tok: "Tokenizer"):
+    """Per-vocab-id syntax descriptors for constrained decoding.
+
+    Returns an int32 ``[V, 3]`` array: column 0 is the parenthesis depth
+    delta (+1 for "(", -1 for ")"), column 1 the ring-closure toggle bit
+    (each distinct ring-label token — a single digit or "%dd" — gets its
+    own bit; SMILES reuses labels by open/close toggling, which a XOR of
+    this bit tracks exactly), column 2 flags <eos> with 1 and every
+    OTHER special/reserved token (<sos>, <pad>, <mask>, <sep>, <unk>,
+    <t_i> — all of which would appear literally in the decoded text and
+    fail the parser) with 2. Bracket atoms (whose digits are inside the
+    bracket token) are zero rows. Consumed by ``models.gcpg.generate``'s
+    ``constraints=`` argument; built once per tokenizer on the host.
+
+    With >32 distinct ring labels the extras share the last bit (two
+    shared-bit labels open at once would cancel); real vocabularies have
+    ~10.
+    """
+    import numpy as np
+
+    t = np.zeros((len(tok), 4), dtype=np.int32)
+    ring_bits: dict = {}
+    for i, s in tok.i2s.items():
+        if s == "(":
+            t[i, 0] = 1
+        elif s == ")":
+            t[i, 0] = -1
+        elif (len(s) == 1 and s.isdigit()) or (
+            s.startswith("%") and s[1:].isdigit()
+        ):
+            bit = ring_bits.setdefault(s, min(len(ring_bits), 31))
+            t[i, 1] = np.int32(1) << np.int32(bit)
+        elif s == "<eos>":
+            t[i, 2] = 1
+        elif s in SPECIAL_TOKENS:
+            t[i, 2] = 2
+        # column 3: tokens that cannot START a SMILES (structural glue —
+        # branches, ring labels, bonds, dot, bare stereo marks)
+        if s in ("(", ")", "=", "#", "-", "/", "\\", ":", ".", "@", "@@") \
+                or t[i, 1] != 0:
+            t[i, 3] = 1
+    return t

@@ -399,6 +399,10 @@ def _add_generate(sub):
     p.add_argument("--no-filter", action="store_true")
     p.add_argument("--temperature", type=float, default=1.0,
                    help="sampling-logit temperature (<1 sharpens)")
+    p.add_argument("--constrain-decode", action="store_true",
+                   help="syntax-constrained decoding: mask tokens that "
+                        "would leave rings/parens unclosable (and "
+                        "special tokens) during sampling")
     p.add_argument("--seed", type=int, default=0)
 
     def run(args):
@@ -413,6 +417,7 @@ def _add_generate(sub):
             conditions={"Score": [args.target_score]},
             filter_valid=not args.no_filter,
             temperature=args.temperature,
+            constrain=args.constrain_decode,
         )
         print(f"wrote {out}")
 
@@ -473,6 +478,9 @@ def _add_run_all(sub):
                         "hypotheses it handles well)")
     p.add_argument("--gate-probe", type=int, default=256,
                    help="probe decodes per hypothesis for --validity-gate")
+    p.add_argument("--constrain-decode", action="store_true",
+                   help="syntax-constrained SMILES decoding (mask "
+                        "unclosable/special tokens during sampling)")
 
     def run(args):
         import dataclasses
@@ -531,6 +539,7 @@ def _add_run_all(sub):
             decode_temperature=args.decode_temperature,
             validity_gate=args.validity_gate,
             validity_probe=args.gate_probe,
+            constrain_decode=args.constrain_decode,
         )
         results, stats = run_pipeline(
             model, params, gmodel, gparams, tokenizer, pockets,

@@ -271,6 +271,7 @@ def generate(
     random_sample: bool = False,
     memory: Optional[Tuple[jnp.ndarray, jnp.ndarray]] = None,
     temperature: float = 1.0,
+    constraints: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
     """Batched autoregressive generation under one lax.scan
     (replaces the reference's Python token loop, gcpg.py:242-290).
@@ -282,6 +283,16 @@ def generate(
     ``temperature`` scales the sampling logits (``random_sample=True``
     only; the reference samples at fixed T=1, gcpg.py:265). It is a
     traced scalar, so sweeping values does not recompile.
+
+    ``constraints`` (``chem.tokenizer.syntax_tables(tok)``, [V, 3] int32)
+    enables syntax-constrained decoding: per-sequence parenthesis depth
+    and a ring-label toggle bitmask are carried through the scan and
+    tokens that would make the string unclosable are masked to -1e9
+    before sampling — ")" at depth 0, <eos> (or <pad>-stop) with open
+    parens/rings, an <eos> first token, and opening a new paren/ring when
+    the outstanding closures no longer fit in the remaining length
+    budget. Purely syntactic (valence is not tracked); lifts validity on
+    out-of-distribution conditioning without retraining.
 
     Returns token ids [B, max_len-1] (without <sos>). Positions after the
     first <eos> in each row are forced to <pad>.
@@ -300,14 +311,54 @@ def generate(
 
     tokens0 = jnp.full((b,), module.sos_value, dtype=jnp.int32)
     finished0 = jnp.zeros((b,), dtype=bool)
+    depth0 = jnp.zeros((b,), dtype=jnp.int32)
+    rings0 = jnp.zeros((b,), dtype=jnp.int32)
+    if constraints is not None:
+        c_delta = constraints[:, 0]
+        c_ring = constraints[:, 1]
+        c_eos = constraints[:, 2] == 1
+        c_special = constraints[:, 2] == 2
+        c_start = constraints[:, 3]
 
     def step(carry, t):
-        tok, ck, cv, finished, key = carry
+        tok, ck, cv, finished, depth, rings, key = carry
         key, sub = jax.random.split(key)
         logits, ck, cv = module.apply(
             params, tok, t - 1, mem, mem_valid, ck, cv,
             method=GCPG.decode_one,
         )
+        if constraints is not None:
+            # forbid tokens that make the string syntactically unclosable
+            need = depth + jax.lax.population_count(rings)
+            ring_hits = (rings[:, None] & c_ring[None, :]) != 0
+            ring_open = (c_ring[None, :] != 0) & ~ring_hits
+            closing = (c_delta[None, :] < 0) | ring_hits
+            # after an opening token its closure must fit in the
+            # max_len-1-t slots that remain; "(" additionally needs an
+            # atom before its ")" (the empty-branch rule below would
+            # otherwise dead-end the row with every token forbidden)
+            rem = max_len - 1 - t
+            over_budget = (
+                (c_delta[None, :] > 0) & ((need[:, None] + 3) > rem)
+            ) | (ring_open & ((need[:, None] + 1) > rem))
+            # once the outstanding closures equal the remaining slots,
+            # ONLY closing tokens keep the string finishable
+            must_close = (need[:, None] > 0) & (
+                need[:, None] >= (max_len - 1 - t)
+            )
+            closes_empty = (c_delta[None, :] < 0) & (depth[:, None] == 0)
+            # ")" directly after "(" would emit an empty branch "()"
+            empty_branch = (c_delta[None, :] < 0) & (
+                (c_delta[tok] > 0)[:, None]
+            )
+            open_state = (depth > 0) | (rings != 0)
+            bad_eos = c_eos[None, :] & (open_state[:, None] | (t == 1))
+            bad_start = (c_start[None, :] > 0) & (t == 1)
+            forbidden = (
+                closes_empty | bad_eos | over_budget | (must_close & ~closing)
+                | empty_branch | bad_start | c_special[None, :]
+            )
+            logits = jnp.where(forbidden, -1e9, logits)
         if random_sample:
             nxt = jax.random.categorical(
                 sub, logits / jnp.maximum(temperature, 1e-6), axis=-1
@@ -316,11 +367,16 @@ def generate(
             nxt = jnp.argmax(logits, axis=-1)
         nxt = jnp.where(finished, module.pad_value, nxt).astype(jnp.int32)
         finished = finished | (nxt == module.eos_value)
-        return (nxt, ck, cv, finished, key), nxt
+        if constraints is not None:
+            # <pad> rows of the table are zero, so post-<eos> forced pads
+            # leave the (now unused) counters unchanged
+            depth = depth + c_delta[nxt]
+            rings = rings ^ c_ring[nxt]
+        return (nxt, ck, cv, finished, depth, rings, key), nxt
 
-    (_, _, _, _, _), toks = jax.lax.scan(
+    (_, _, _, _, _, _, _), toks = jax.lax.scan(
         step,
-        (tokens0, cache_k, cache_v, finished0, k_scan),
+        (tokens0, cache_k, cache_v, finished0, depth0, rings0, k_scan),
         jnp.arange(1, max_len),
     )
     return toks.T  # [B, max_len-1]

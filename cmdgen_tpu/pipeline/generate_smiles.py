@@ -17,7 +17,7 @@ import numpy as np
 
 from cmdgen_tpu.chem.mol import canonical_smiles
 from cmdgen_tpu.chem.posp import load_phar_file
-from cmdgen_tpu.chem.tokenizer import Tokenizer
+from cmdgen_tpu.chem.tokenizer import Tokenizer, syntax_tables
 from cmdgen_tpu.models import gcpg as gcpg_mod
 from cmdgen_tpu.models.gcpg import GCPG
 
@@ -56,10 +56,18 @@ def generate_from_phar(
     filter_valid: bool = True,
     batch_size: int = 128,
     temperature: float = 1.0,
+    constrain: bool = False,
 ) -> List[str]:
-    """Returns generated SMILES strings (canonical + deduped if filtered)."""
+    """Returns generated SMILES strings (canonical + deduped if filtered).
+
+    ``constrain`` enables syntax-constrained decoding (see
+    ``models.gcpg.generate``): ring/paren-unclosable and special tokens
+    are masked during sampling."""
     pp_h, pp_e, pp_mask = load_phar_file(phar_file)
     grid = condition_grid(conditions)
+    tables = (
+        jnp.asarray(syntax_tables(tokenizer)) if constrain else None
+    )
     out: List[str] = []
     for cond in grid:
         remaining = n_per_condition
@@ -76,6 +84,7 @@ def generate_from_phar(
                 jnp.broadcast_to(jnp.asarray(cond), (b, len(cond))),
                 random_sample=random_sample,
                 temperature=temperature,
+                constraints=tables,
             )
             out.extend(tokenizer.get_text(np.asarray(toks)))
             remaining -= b

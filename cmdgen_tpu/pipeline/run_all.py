@@ -31,7 +31,7 @@ import numpy as np
 
 from cmdgen_tpu.chem.mol import mol_from_smiles, write_smiles
 from cmdgen_tpu.chem.posp import points_to_graph
-from cmdgen_tpu.chem.tokenizer import Tokenizer
+from cmdgen_tpu.chem.tokenizer import Tokenizer, syntax_tables
 from cmdgen_tpu.models import gcpg as gcpg_mod
 from cmdgen_tpu.pipeline.align import align_entries, prepare_align_entries
 from cmdgen_tpu.pipeline.generate_smiles import condition_grid
@@ -112,6 +112,10 @@ class PipelineConfig:
     # drop counts are reported (gate_dropped / gate_probe_smiles).
     validity_gate: Optional[float] = None
     validity_probe: int = 256
+    # syntax-constrained decoding (models.gcpg.generate constraints=):
+    # mask ring/paren-unclosable and special tokens during sampling —
+    # removes the syntactic share of OOD invalidity without retraining
+    constrain_decode: bool = False
 
 
 @dataclasses.dataclass
@@ -256,6 +260,11 @@ def run_pipeline(
         finally:
             q_hyp.put(_SENTINEL)
 
+    decode_tables = (
+        jnp.asarray(syntax_tables(tokenizer)) if cfg.constrain_decode
+        else None
+    )
+
     def decoder():
         try:
             key = k_decode
@@ -281,6 +290,7 @@ def run_pipeline(
                         ),
                         random_sample=True,
                         temperature=cfg.decode_temperature,
+                        constraints=decode_tables,
                     )
                     probe = tokenizer.get_text(
                         np.asarray(toks)[: cfg.validity_probe]
@@ -316,6 +326,7 @@ def run_pipeline(
                         jnp.broadcast_to(jnp.asarray(cond), (b, len(cond))),
                         random_sample=True,
                         temperature=cfg.decode_temperature,
+                        constraints=decode_tables,
                     )
                     raw.extend(tokenizer.get_text(np.asarray(toks)))
                     remaining -= b

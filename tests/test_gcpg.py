@@ -204,3 +204,66 @@ def test_condition_layout_matches_reference():
     assert [PROPERTY_KEYS[i] for i in COND_IDX] == [
         "MW", "logP", "QED", "SAS", "RotaNumBonds", "Score", "Smi"
     ]
+
+
+def test_constrained_decode_always_balanced():
+    """Syntax-constrained generation: with syntax_tables passed, every
+    decoded string has balanced parentheses, fully-closed ring labels,
+    no literal special tokens, and is non-empty — even from RANDOM
+    weights at temperature 3 (where unconstrained decoding emits
+    unbalanced strings with near-certainty)."""
+    import re
+
+    from cmdgen_tpu.chem.tokenizer import (
+        Tokenizer, gen_vocabs, syntax_tables,
+    )
+
+    tok = Tokenizer(gen_vocabs([
+        "C1CC1(O)CC", "c1ccccc1C(=O)N", "C%10CC%10", "CC(C)(C)O",
+    ]))
+    model = GCPG(CFG, vocab_size=len(tok))
+    rng = np.random.RandomState(0)
+    b = 64
+    pp_h = jnp.asarray(rng.rand(b, 8, 8), dtype=jnp.float32)
+    pp_e = jnp.asarray(rng.rand(b, 8, 8, 1), dtype=jnp.float32)
+    pp_mask = jnp.ones((b, 8))
+    conds = jnp.asarray(rng.rand(b, 7), dtype=jnp.float32)
+    s = 16
+    params = model.init(
+        jax.random.PRNGKey(0), jax.random.PRNGKey(1),
+        jnp.asarray(rng.randint(4, len(tok), (b, s))), jnp.ones((b, s)),
+        pp_h, pp_e, pp_mask,
+        jnp.asarray(rng.randint(4, len(tok), (b, s))), conds,
+    )
+
+    def violations(texts):
+        n = 0
+        for x in texts:
+            depth, rings = 0, set()
+            bad = "<" in x or x == ""
+            for m in re.finditer(r"%\d{2}|\(|\)|\d", x):
+                g = m.group()
+                if g == "(":
+                    depth += 1
+                elif g == ")":
+                    depth -= 1
+                    bad = bad or depth < 0
+                else:
+                    rings ^= {g}
+            n += bad or depth != 0 or bool(rings)
+        return n
+
+    key = jax.random.PRNGKey(9)
+    free = gcpg_mod.generate(
+        model, params, key, pp_h, pp_e, pp_mask, conds,
+        random_sample=True, temperature=3.0,
+    )
+    con = gcpg_mod.generate(
+        model, params, key, pp_h, pp_e, pp_mask, conds,
+        random_sample=True, temperature=3.0,
+        constraints=jnp.asarray(syntax_tables(tok)),
+    )
+    free_bad = violations(tok.get_text(np.asarray(free)))
+    con_bad = violations(tok.get_text(np.asarray(con)))
+    assert free_bad > 0          # random weights DO violate syntax
+    assert con_bad == 0          # the mask removes every violation
