@@ -95,6 +95,9 @@ def main():
     ap.add_argument("--constrain-decode", action="store_true",
                     help="syntax-constrained SMILES decoding (mask "
                     "unclosable/special tokens during sampling)")
+    ap.add_argument("--constrain-valence", action="store_true",
+                    help="additionally mask valence-overflow "
+                    "continuations (per-atom bond budgets)")
     ap.add_argument("--keep-top-match-frac", type=float, default=None,
                     help="rank aligned output by pharmacophore match and "
                     "keep this fraction (virtual-screening selection); "
@@ -147,6 +150,7 @@ def main():
         num_keep=min(3, args.n_conformers),
         validity_probe=args.gate_probe,
         constrain_decode=args.constrain_decode,
+        constrain_valence=args.constrain_valence,
     )
 
     # warmup compiles every jit shape once (excluded from measurement) —
@@ -259,6 +263,8 @@ def _report(args, dcfg, collect, results, stats, temp, gate):
         out["validity_gate"] = gate
     if args.constrain_decode:
         out["constrain_decode"] = True
+    if args.constrain_valence:
+        out["constrain_valence"] = True
     hv = collect.get("hyp_validity", {})
     if hv:
         vals = sorted(hv.values())

@@ -94,10 +94,56 @@ class Tokenizer:
         return t
 
 
+_BOND_ORDERS = {"-": 1, "/": 1, "\\": 1, ":": 1, "=": 2, "#": 3}
+
+
+def _atom_bond_budget(s: str) -> int:
+    """Bonds an atom token may form per ``chem.mol``'s valence checker
+    (``check_valence``: bond-order sum + explicit H <= max default
+    valence adjusted for charge), or -1 if ``s`` is not an atom token.
+
+    Mirrors the checker exactly so valence-constrained decoding masks
+    only continuations the validity metric itself would reject: charge
+    adds to the budget for N/P and subtracts |charge| otherwise; an
+    explicit bracket H count is pre-spent; elements outside
+    DEFAULT_VALENCES pass the checker unconditionally (budget 8).
+    Aromatic bonds are charged at their *written* order (1), which the
+    kekulizer can only raise — so this budget never over-masks.
+    """
+    from cmdgen_tpu.chem.mol import DEFAULT_VALENCES
+
+    if ATOM_PATTERN.fullmatch(s) is None:
+        return -1
+    if s.startswith("["):
+        body = s[1:-1]
+        m = re.match(r"\d*([A-Za-z][a-z]?|\*)", body)
+        if m is None:
+            return 8
+        sym = m.group(1)
+        rest = body[m.end():]
+        hm = re.search(r"H(\d*)", rest)
+        n_h = (int(hm.group(1)) if hm and hm.group(1) else (1 if hm else 0))
+        cm = re.search(r"(\++|-+)(\d*)$", rest) or re.search(
+            r"([+-])(\d+)", rest
+        )
+        charge = 0
+        if cm:
+            sign = 1 if cm.group(1)[0] == "+" else -1
+            charge = sign * (int(cm.group(2)) if cm.group(2)
+                             else len(cm.group(1)))
+    else:
+        sym, n_h, charge = s, 0, 0
+    sym = sym.capitalize()  # aromatic lowercase forms share the table
+    if sym not in DEFAULT_VALENCES:
+        return 8
+    adj = charge if sym in ("N", "P") else -abs(charge)
+    return max(0, max(DEFAULT_VALENCES[sym]) + adj - n_h)
+
+
 def syntax_tables(tok: "Tokenizer"):
     """Per-vocab-id syntax descriptors for constrained decoding.
 
-    Returns an int32 ``[V, 3]`` array: column 0 is the parenthesis depth
+    Returns an int32 ``[V, 6]`` array: column 0 is the parenthesis depth
     delta (+1 for "(", -1 for ")"), column 1 the ring-closure toggle bit
     (each distinct ring-label token — a single digit or "%dd" — gets its
     own bit; SMILES reuses labels by open/close toggling, which a XOR of
@@ -105,8 +151,12 @@ def syntax_tables(tok: "Tokenizer"):
     OTHER special/reserved token (<sos>, <pad>, <mask>, <sep>, <unk>,
     <t_i> — all of which would appear literally in the decoded text and
     fail the parser) with 2. Bracket atoms (whose digits are inside the
-    bracket token) are zero rows. Consumed by ``models.gcpg.generate``'s
-    ``constraints=`` argument; built once per tokenizer on the host.
+    bracket token) have zero in columns 0-2. Column 4 is the atom bond
+    budget (``_atom_bond_budget``; -1 for non-atom tokens) and column 5
+    the bond-token order (1 for -//\\:, 2 for =, 3 for #; -1 for the
+    disconnect dot; 0 otherwise) — consumed only when valence masking is
+    enabled. Consumed by ``models.gcpg.generate``'s ``constraints=``
+    argument; built once per tokenizer on the host.
 
     With >32 distinct ring labels the extras share the last bit (two
     shared-bit labels open at once would cancel); real vocabularies have
@@ -114,7 +164,7 @@ def syntax_tables(tok: "Tokenizer"):
     """
     import numpy as np
 
-    t = np.zeros((len(tok), 4), dtype=np.int32)
+    t = np.zeros((len(tok), 6), dtype=np.int32)
     ring_bits: dict = {}
     for i, s in tok.i2s.items():
         if s == "(":
@@ -135,4 +185,6 @@ def syntax_tables(tok: "Tokenizer"):
         if s in ("(", ")", "=", "#", "-", "/", "\\", ":", ".", "@", "@@") \
                 or t[i, 1] != 0:
             t[i, 3] = 1
+        t[i, 4] = _atom_bond_budget(s)
+        t[i, 5] = _BOND_ORDERS.get(s, 0) if s != "." else -1
     return t

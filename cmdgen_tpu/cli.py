@@ -403,6 +403,9 @@ def _add_generate(sub):
                    help="syntax-constrained decoding: mask tokens that "
                         "would leave rings/parens unclosable (and "
                         "special tokens) during sampling")
+    p.add_argument("--constrain-valence", action="store_true",
+                   help="additionally mask valence-overflow "
+                        "continuations (per-atom bond budgets)")
     p.add_argument("--seed", type=int, default=0)
 
     def run(args):
@@ -418,6 +421,7 @@ def _add_generate(sub):
             filter_valid=not args.no_filter,
             temperature=args.temperature,
             constrain=args.constrain_decode,
+            constrain_valence=args.constrain_valence,
         )
         print(f"wrote {out}")
 
@@ -481,6 +485,9 @@ def _add_run_all(sub):
     p.add_argument("--constrain-decode", action="store_true",
                    help="syntax-constrained SMILES decoding (mask "
                         "unclosable/special tokens during sampling)")
+    p.add_argument("--constrain-valence", action="store_true",
+                   help="additionally mask valence-overflow "
+                        "continuations (per-atom bond budgets)")
 
     def run(args):
         import dataclasses
@@ -540,6 +547,7 @@ def _add_run_all(sub):
             validity_gate=args.validity_gate,
             validity_probe=args.gate_probe,
             constrain_decode=args.constrain_decode,
+            constrain_valence=args.constrain_valence,
         )
         results, stats = run_pipeline(
             model, params, gmodel, gparams, tokenizer, pockets,

@@ -259,7 +259,9 @@ class PReLUMLP(nn.Module):
         return nn.Dense(self.dim)(x)
 
 
-@functools.partial(jax.jit, static_argnames=("module", "random_sample"))
+@functools.partial(
+    jax.jit, static_argnames=("module", "random_sample", "valence")
+)
 def generate(
     module: GCPG,
     params,
@@ -272,6 +274,7 @@ def generate(
     memory: Optional[Tuple[jnp.ndarray, jnp.ndarray]] = None,
     temperature: float = 1.0,
     constraints: Optional[jnp.ndarray] = None,
+    valence: bool = False,
 ) -> jnp.ndarray:
     """Batched autoregressive generation under one lax.scan
     (replaces the reference's Python token loop, gcpg.py:242-290).
@@ -284,15 +287,28 @@ def generate(
     only; the reference samples at fixed T=1, gcpg.py:265). It is a
     traced scalar, so sweeping values does not recompile.
 
-    ``constraints`` (``chem.tokenizer.syntax_tables(tok)``, [V, 3] int32)
+    ``constraints`` (``chem.tokenizer.syntax_tables(tok)``, [V, 6] int32)
     enables syntax-constrained decoding: per-sequence parenthesis depth
     and a ring-label toggle bitmask are carried through the scan and
     tokens that would make the string unclosable are masked to -1e9
     before sampling — ")" at depth 0, <eos> (or <pad>-stop) with open
     parens/rings, an <eos> first token, and opening a new paren/ring when
     the outstanding closures no longer fit in the remaining length
-    budget. Purely syntactic (valence is not tracked); lifts validity on
-    out-of-distribution conditioning without retraining.
+    budget. Lifts validity on out-of-distribution conditioning without
+    retraining.
+
+    ``valence=True`` (requires ``constraints``) additionally carries a
+    per-sequence valence state machine through the scan: the remaining
+    bond budget of the current attachment atom (``chem.mol``
+    ``check_valence`` rules, via ``syntax_tables`` columns 4-5), a
+    branch stack of saved attachment budgets, and the pending bond
+    order. Masked: atoms/ring-labels/branches whose incoming bond
+    exceeds either end's remaining budget, bond tokens without a
+    bondable attachment or stacked on another bond token, and
+    eos/branch-close with a dangling bond token. Budgets charge bonds
+    at their written order (kekulization only raises them), so every
+    masked token is one the validity checker would reject — the mask
+    under-approximates invalidity, never blocks a valid continuation.
 
     Returns token ids [B, max_len-1] (without <sos>). Positions after the
     first <eos> in each row are forced to <pad>.
@@ -319,9 +335,23 @@ def generate(
         c_eos = constraints[:, 2] == 1
         c_special = constraints[:, 2] == 2
         c_start = constraints[:, 3]
+        c_val = constraints[:, 4]
+        c_bond = constraints[:, 5]
+    STACK_D = 16  # branch-nesting cap under valence tracking
+    # valence state: prev = remaining bond budget of the current
+    # attachment atom (-1 = none: start / after "."), pend = pending
+    # bond-token order, fresh = the attachment atom is also the top
+    # stacked copy (between "(" and the first bond made inside the
+    # branch) so consumption must mirror onto the stack, vstack = saved
+    # attachment budgets at each open branch
+    prev0 = jnp.full((b,), -1, dtype=jnp.int32)
+    pend0 = jnp.zeros((b,), dtype=jnp.int32)
+    fresh0 = jnp.zeros((b,), dtype=bool)
+    vstack0 = jnp.zeros((b, STACK_D), dtype=jnp.int32)
 
     def step(carry, t):
-        tok, ck, cv, finished, depth, rings, key = carry
+        tok, ck, cv, finished, depth, rings, prev, pend, fresh, vstack, \
+            key = carry
         key, sub = jax.random.split(key)
         logits, ck, cv = module.apply(
             params, tok, t - 1, mem, mem_valid, ck, cv,
@@ -358,6 +388,41 @@ def generate(
                 closes_empty | bad_eos | over_budget | (must_close & ~closing)
                 | empty_branch | bad_start | c_special[None, :]
             )
+            if valence:
+                has_prev = (prev >= 0)[:, None]
+                bmax = jnp.maximum(pend, 1)[:, None]
+                pending = (pend != 0)[:, None]
+                is_atom = (c_val >= 0)[None, :]
+                is_bond = (c_bond > 0)[None, :]
+                is_dot = (c_bond < 0)[None, :]
+                is_open = (c_delta > 0)[None, :]
+                is_close = (c_delta < 0)[None, :]
+                is_ring = (c_ring != 0)[None, :]
+                after_open = (c_delta[tok] > 0)[:, None]
+                v_forbidden = (
+                    # an atom's incoming bond must fit both ends
+                    (is_atom & has_prev
+                     & ((prev[:, None] < bmax) | (c_val[None, :] < bmax)))
+                    # bond tokens: need a bondable attachment, no stacking
+                    | (is_bond & (~has_prev | pending
+                                  | (prev[:, None] < c_bond[None, :])))
+                    # "(": the branch will bond to the attachment atom;
+                    # also no "((" and the stack-depth cap
+                    | (is_open & (~has_prev | (prev[:, None] < 1) | pending
+                                  | after_open
+                                  | (depth[:, None] >= STACK_D - 1)))
+                    # ")" / <eos> / "." with a dangling bond token
+                    | ((is_close | c_eos[None, :] | is_dot) & pending)
+                    # ring labels bond the attachment atom at both events
+                    | (is_ring & (~has_prev | (prev[:, None] < bmax)))
+                    # liveness: with open rings and no branch to escape
+                    # to, an atom whose incoming bond exhausts its budget
+                    # (F, Cl, [O-], ...) leaves no way to ever close them
+                    | (is_atom
+                       & ((c_val[None, :] - bmax) < 1)
+                       & ((rings != 0) & (depth == 0))[:, None])
+                )
+                forbidden = forbidden | v_forbidden
             logits = jnp.where(forbidden, -1e9, logits)
         if random_sample:
             nxt = jax.random.categorical(
@@ -372,11 +437,58 @@ def generate(
             # leave the (now unused) counters unchanged
             depth = depth + c_delta[nxt]
             rings = rings ^ c_ring[nxt]
-        return (nxt, ck, cv, finished, depth, rings, key), nxt
+            if valence:
+                t_val, t_bond = c_val[nxt], c_bond[nxt]
+                t_push = c_delta[nxt] > 0
+                t_pop = c_delta[nxt] < 0
+                t_ring = c_ring[nxt] != 0
+                t_atom = t_val >= 0
+                bo = jnp.maximum(pend, 1)
+                # bonds consumed from the attachment atom by this token
+                consume = jnp.where(
+                    (t_atom & (prev >= 0)) | t_ring, bo, 0
+                )
+                prev_c = prev - consume
+                # mirror consumption onto the stacked copy while the
+                # attachment atom is itself the stack top (post-"(")
+                oh_top = jax.nn.one_hot(
+                    jnp.clip(depth - c_delta[nxt] - 1, 0, STACK_D - 1),
+                    STACK_D, dtype=jnp.int32,
+                )
+                vstack = jnp.where(
+                    (fresh & (consume > 0))[:, None],
+                    vstack - oh_top * consume[:, None], vstack,
+                )
+                # "(" pushes the attachment budget at the pre-push depth
+                oh_push = jax.nn.one_hot(
+                    jnp.clip(depth - 1, 0, STACK_D - 1), STACK_D,
+                    dtype=jnp.int32,
+                )
+                vstack = jnp.where(
+                    t_push[:, None],
+                    vstack * (1 - oh_push) + oh_push * prev_c[:, None],
+                    vstack,
+                )
+                # ")" restores the saved attachment (depth already
+                # decremented: the popped slot is the new depth's)
+                popped = jnp.sum(vstack * oh_top, axis=1)
+                prev = jnp.where(
+                    t_atom,
+                    t_val - jnp.where(prev >= 0, bo, 0),
+                    jnp.where(t_pop, popped, prev_c),
+                )
+                prev = jnp.where(t_bond < 0, -1, prev)  # "." disconnect
+                pend = jnp.where(t_bond > 0, t_bond, 0)
+                fresh = jnp.where(
+                    t_push, True, jnp.where(t_bond > 0, fresh, False)
+                )
+        return (nxt, ck, cv, finished, depth, rings, prev, pend, fresh,
+                vstack, key), nxt
 
-    (_, _, _, _, _, _, _), toks = jax.lax.scan(
+    _, toks = jax.lax.scan(
         step,
-        (tokens0, cache_k, cache_v, finished0, depth0, rings0, k_scan),
+        (tokens0, cache_k, cache_v, finished0, depth0, rings0, prev0,
+         pend0, fresh0, vstack0, k_scan),
         jnp.arange(1, max_len),
     )
     return toks.T  # [B, max_len-1]

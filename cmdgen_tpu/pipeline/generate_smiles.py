@@ -57,16 +57,19 @@ def generate_from_phar(
     batch_size: int = 128,
     temperature: float = 1.0,
     constrain: bool = False,
+    constrain_valence: bool = False,
 ) -> List[str]:
     """Returns generated SMILES strings (canonical + deduped if filtered).
 
     ``constrain`` enables syntax-constrained decoding (see
     ``models.gcpg.generate``): ring/paren-unclosable and special tokens
-    are masked during sampling."""
+    are masked during sampling. ``constrain_valence`` additionally masks
+    valence-overflow continuations (implies the tables)."""
     pp_h, pp_e, pp_mask = load_phar_file(phar_file)
     grid = condition_grid(conditions)
     tables = (
-        jnp.asarray(syntax_tables(tokenizer)) if constrain else None
+        jnp.asarray(syntax_tables(tokenizer))
+        if constrain or constrain_valence else None
     )
     out: List[str] = []
     for cond in grid:
@@ -85,6 +88,7 @@ def generate_from_phar(
                 random_sample=random_sample,
                 temperature=temperature,
                 constraints=tables,
+                valence=constrain_valence,
             )
             out.extend(tokenizer.get_text(np.asarray(toks)))
             remaining -= b

@@ -116,6 +116,10 @@ class PipelineConfig:
     # mask ring/paren-unclosable and special tokens during sampling —
     # removes the syntactic share of OOD invalidity without retraining
     constrain_decode: bool = False
+    # additionally track per-atom bond budgets and mask valence-overflow
+    # continuations (models.gcpg.generate valence=); implies the tables
+    # of constrain_decode
+    constrain_valence: bool = False
 
 
 @dataclasses.dataclass
@@ -261,8 +265,8 @@ def run_pipeline(
             q_hyp.put(_SENTINEL)
 
     decode_tables = (
-        jnp.asarray(syntax_tables(tokenizer)) if cfg.constrain_decode
-        else None
+        jnp.asarray(syntax_tables(tokenizer))
+        if cfg.constrain_decode or cfg.constrain_valence else None
     )
 
     def decoder():
@@ -291,6 +295,7 @@ def run_pipeline(
                         random_sample=True,
                         temperature=cfg.decode_temperature,
                         constraints=decode_tables,
+                        valence=cfg.constrain_valence,
                     )
                     probe = tokenizer.get_text(
                         np.asarray(toks)[: cfg.validity_probe]
@@ -327,6 +332,7 @@ def run_pipeline(
                         random_sample=True,
                         temperature=cfg.decode_temperature,
                         constraints=decode_tables,
+                        valence=cfg.constrain_valence,
                     )
                     raw.extend(tokenizer.get_text(np.asarray(toks)))
                     remaining -= b
