@@ -10,7 +10,7 @@ python -u benchmarks/e2e_trained.py \
   --diff-workdir runs/qrun_aa --gcpg-workdir runs/grun_r5cn \
   --neighbor-k 16 --clamp-x 8 --smiles-per-hypothesis 2048 \
   --pockets 16 --cluster-counts 4 5 6 \
-  --decode-temperature 0.7 --validity-gate -1 0.85 \
+  --decode-temperature 0.7 --validity-gate 0.85 \
   --constrain-decode --constrain-valence \
   | tee -a runs/e2e_r5_grid.log
 echo "e2e confirm16 done"
